@@ -1,0 +1,130 @@
+"""Partitioned bloom filter over url_hash — the URL-seen prefilter.
+
+Replaces Scrapy's in-memory RFPDupeFilter fingerprint set (default-on in the
+reference; nothing in /root/reference/crawling/crawling/settings.py disables
+it) with a design that survives 10^10 keys:
+
+- the key space is sharded by ``pmod(url_hash, P)`` into P independent bloom
+  shards (numpy bit arrays);
+- shards are BUILT distributively: groupBy(shard).applyInPandas emits one
+  ``(shard_id, bits)`` row per shard — no driver-side key materialization;
+- shards are PROBED distributively: candidates.cogroup(shards).applyInPandas
+  — each task sees only its shard's bits and its shard's candidates, so no
+  12 GB broadcast at 10^10 scale (SURVEY.md §7 "hard parts");
+- the bloom is only a PREFILTER: bloom-negative rows are definitely new and
+  skip the expensive anti-join; bloom-positive rows are confirmed against
+  the exact Iceberg/parquet ``url_seen`` table. Zero false negatives by
+  construction — correctness never depends on the bloom.
+
+Hashing: k probe positions derived from the single 64-bit xxhash64 via the
+standard Kirsch-Mitzenmacher double hashing h1 + i*h2 (public technique),
+vectorized in numpy over the whole Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHARD_BITS_DEFAULT = 1 << 20  # 128 KiB per shard; tune m/n for target FPP
+NUM_HASHES = 5
+
+
+def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(n, NUM_HASHES) probe positions via double hashing, vectorized."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(NUM_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Row-wise AND over NUM_HASHES probes → membership-maybe mask."""
+    got = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return got.all(axis=1)
+
+
+def shard_of(url_hash, num_shards: int):
+    return F.pmod(url_hash, F.lit(num_shards)).cast("int")
+
+
+def build_shards(
+    url_seen: DataFrame, num_shards: int, shard_bits: int = SHARD_BITS_DEFAULT
+) -> DataFrame:
+    """url_seen(url_hash, ...) → shards(shard_id int, bits binary).
+
+    One shuffle on shard_id; each task folds its hashes into a numpy bitset.
+    Shards with no seen keys emit no row — the cogroup probe treats a
+    missing shard as an empty bloom (maybe_seen=False), which is exact.
+
+    NB: the url_hash column must stay int64 end-to-end; never union it with
+    nulls (Arrow→pandas would upcast to float64 and corrupt hashes > 2^53).
+    """
+    hashed = url_seen.select(
+        F.col("url_hash"), shard_of(F.col("url_hash"), num_shards).alias("shard_id")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(shard_bits >> 3, dtype=np.uint8)
+        if len(pdf):
+            _set_bits(bits, _positions(pdf["url_hash"].to_numpy(np.int64), shard_bits))
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])], "bits": [bits.tobytes()]}
+        )
+
+    return hashed.groupBy("shard_id").applyInPandas(
+        fold, schema="shard_id int, bits binary"
+    )
+
+
+def probe(
+    candidates: DataFrame,
+    shards: DataFrame,
+    num_shards: int,
+    shard_bits: int = SHARD_BITS_DEFAULT,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Append ``maybe_seen boolean`` to candidates via cogrouped shard probe.
+
+    Both sides shuffle once on shard_id; the shard bitset never leaves its
+    task. Result column is False ⇒ definitely unseen (bloom guarantee).
+    """
+    cols = candidates.columns
+
+    left = candidates.withColumn("shard_id", shard_of(F.col(hash_col), num_shards))
+
+    def do_probe(key, cand_it, shard_it) -> pd.DataFrame:
+        cand = cand_it
+        bits_rows = shard_it
+        if len(cand) == 0:
+            return cand.drop(columns=["shard_id"]).assign(
+                maybe_seen=pd.Series([], dtype=bool)
+            )
+        if len(bits_rows) == 0:
+            maybe = np.zeros(len(cand), dtype=bool)
+        else:
+            bits = np.frombuffer(bits_rows["bits"].iloc[0], dtype=np.uint8)
+            pos = _positions(cand[hash_col].to_numpy(np.int64), shard_bits)
+            maybe = _test_bits(bits, pos)
+        out = cand.drop(columns=["shard_id"]).copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+
+    return (
+        left.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(do_probe, schema=out_schema)
+    )

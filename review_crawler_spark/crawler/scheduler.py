@@ -1,0 +1,337 @@
+"""The crawl engine: a checkpointed, politeness-budgeted wave loop.
+
+This is the distributed re-expression of Scrapy's engine loop
+(/root/reference/crawling/crawling/spiders/article_spider.py:53-68 +
+the Twisted scheduler) and of the batch crawlers' sequential loops
+(/root/reference/plos_crawler.py:264-312). Control flow lives on the
+driver (the one thing Catalyst cannot express — SURVEY.md §4); every data
+step is a DataFrame op:
+
+wave N:
+  1. SCHEDULE  — salted two-phase top-k per host (priority DESC, seq) up to
+                 the per-host politeness budget        [window rank, W2/O3]
+  2. FETCH     — join scheduled ⋈ site_graph on canonical_url (the sandbox
+                 stand-in for the HTTP stage)          [equi join]
+  3. RETRY     — non-200 rows requeue with attempt+1 up to max_attempts
+                 (/root/reference/utils.py:47-48 raises on 403) [filter]
+  4. DISCOVER  — fetched ⋈ out-links, child seq = parent_seq·1000+idx
+                 (document order, follow_all semantics) [join + arithmetic]
+  5. ADMIT     — canonicalize (U2 pandas UDF) → robots filter → in-batch
+                 dedup (min_by) → bloom prefilter → exact anti-join vs
+                 url_seen                               [C3 two-phase dedup]
+  6. COMMIT    — frontier / url_seen / fetched / metrics snapshot, atomic
+                 manifest; reload from parquet = lineage barrier + resume
+                 point                                  [C7]
+
+Crawl-order contract (must equal the pure-Python reference simulator):
+``ORDER BY wave, priority DESC, host, seq``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import with_url_identity
+from ..schemas import FRONTIER_SCHEMA, URL_SEEN_SCHEMA
+from ..sources.sitegen import ROBOTS_RULES
+from . import bloom
+from .checkpoint import SnapshotStore
+from .robots import filter_allowed, rules_tables
+
+SEQ_STRIDE = 1000
+DEFAULT_BUDGET = 8
+MAX_ATTEMPTS = 2
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    scheduled: int
+    fetched: int
+    new_urls: int
+    errors: int
+    wall_ms: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        site_graph: DataFrame,
+        site_links: DataFrame,
+        store: SnapshotStore,
+        budget: int = DEFAULT_BUDGET,
+        robots_rules: dict | None = None,
+        num_bloom_shards: int = 8,
+        use_bloom: bool = True,
+        max_attempts: int = MAX_ATTEMPTS,
+        num_salts: int = 8,
+    ):
+        self.spark = spark
+        # site pages keyed by canonical url; cached — it is the fetch "network"
+        self.site_graph = site_graph.select(
+            F.col("url").alias("page_url"), "kind", "status"
+        ).cache()
+        self.site_links = site_links.cache()
+        self.store = store
+        self.budget = budget
+        self.num_bloom_shards = num_bloom_shards
+        self.use_bloom = use_bloom
+        self.max_attempts = max_attempts
+        self.num_salts = num_salts
+        self.disallow, self.budgets = rules_tables(
+            spark, robots_rules if robots_rules is not None else ROBOTS_RULES,
+            default_budget=budget,
+        )
+        self.frontier: DataFrame | None = None
+        self.url_seen: DataFrame | None = None
+        self.next_wave = 0
+        self.stats: list[WaveStats] = []
+
+    # ------------------------------------------------------------- seeding
+    def seed(self, seed_rows: list[tuple[str, int, int]]) -> None:
+        """seed_rows: (url, seq, priority) — depth-0 frontier, wave 0."""
+        raw = self.spark.createDataFrame(
+            seed_rows, "url string, seq long, priority long"
+        )
+        ident = with_url_identity(raw)
+        self.frontier = ident.select(
+            "url", "canonical_url", "url_hash", "host",
+            F.col("priority").cast("long"),
+            F.lit(0).alias("depth"), F.lit(0).alias("wave"),
+            F.col("seq").cast("long"),
+            F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
+        )
+        self.url_seen = self.frontier.select(
+            "url_hash", "canonical_url", F.lit(0).alias("first_wave"),
+            bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
+                "partition_id"
+            ),
+        )
+        self.next_wave = 0
+
+    # ------------------------------------------------------------- resume
+    def resume(self) -> bool:
+        """Load the latest committed snapshot; True if one existed."""
+        last = self.store.latest_wave()
+        if last is None:
+            return False
+        self.frontier = self.store.read(self.spark, last, "frontier")
+        self.url_seen = self.store.read(self.spark, last, "url_seen")
+        self.next_wave = last + 1
+        return True
+
+    # ------------------------------------------------------------- schedule
+    def _schedule(self, queued: DataFrame) -> DataFrame:
+        """Salted two-phase per-host top-k (SURVEY.md §2.9 C4/C5).
+
+        Phase 1 ranks within (host, salt) so a single skewed host (MDPI —
+        the whole reference crawl is one domain) never concentrates its
+        million queued URLs in one task; only ≤ max_budget rows per salt
+        survive to the exact per-host rank in phase 2.
+        """
+        max_b = self.budget
+        salted = queued.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(self.num_salts))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(
+            F.desc("priority"), F.asc("seq")
+        )
+        pre = (
+            salted.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= max_b)
+            .drop("_salt", "_rk1")
+        )
+        w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+        ranked = pre.withColumn("_rk", F.row_number().over(w2))
+        return (
+            ranked.join(F.broadcast(self.budgets), "host", "left")
+            .withColumn("_b", F.coalesce(F.col("budget"), F.lit(self.budget)))
+            .filter(F.col("_rk") <= F.col("_b"))
+            .drop("_rk", "_b", "budget")
+        )
+
+    # ------------------------------------------------------------- one wave
+    def run_wave(self) -> WaveStats | None:
+        wave = self.next_wave
+        t0 = time.time()
+        queued = self.frontier.filter(F.col("state") == "queued")
+        if queued.isEmpty():
+            return None
+
+        scheduled = self._schedule(queued).cache()
+
+        # FETCH: left join against the synthetic web; missing page → 404.
+        fetch = scheduled.join(
+            self.site_graph, scheduled.canonical_url == self.site_graph.page_url,
+            "left",
+        ).withColumn("fetch_status", F.coalesce(F.col("status"), F.lit(404)))
+
+        fetched = fetch.filter(F.col("fetch_status") == 200).select(
+            scheduled.url, "canonical_url", "url_hash", "host", "priority",
+            "depth", F.lit(wave).alias("wave"), "seq",
+            F.col("kind"), F.col("fetch_status").alias("status"),
+        ).cache()
+
+        failed = fetch.filter(F.col("fetch_status") != 200).select(
+            scheduled.url, "canonical_url", "url_hash", "host", "priority",
+            "depth", F.col("wave"), "seq",
+            F.when(F.col("attempt") + 1 >= self.max_attempts, "failed")
+            .otherwise("queued").alias("state"),
+            (F.col("attempt") + 1).alias("attempt"),
+        )
+
+        # DISCOVER: out-links of fetched pages, document-order seq encoding.
+        links = fetched.join(
+            self.site_links,
+            fetched.canonical_url == self.site_links.page_url,
+        ).select(
+            F.col("link_url").alias("url"),
+            F.col("link_pri").cast("long").alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            (F.col("seq") * SEQ_STRIDE + F.col("link_idx")).alias("seq"),
+        )
+
+        admitted = self._admit(links, wave)
+
+        # in-wave bookkeeping (counts force the cached plans once)
+        n_sched = scheduled.count()
+        n_fetched = fetched.count()
+        n_new = admitted.count()
+        n_err = n_sched - n_fetched
+
+        # next frontier: untouched queued + fetched/failed marks + new rows
+        untouched = queued.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        )
+        fetched_marked = fetched.select(
+            "url", "canonical_url", "url_hash", "host", "priority", "depth",
+            F.col("wave"), "seq", F.lit("fetched").alias("state"),
+            F.lit(0).alias("attempt"),
+        )
+        done = self.frontier.filter(F.col("state") != "queued")
+        frontier_next = (
+            done.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            .unionByName(untouched.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+            .unionByName(fetched_marked)
+            .unionByName(failed.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+            .unionByName(
+                admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+        )
+        url_seen_next = self.url_seen.unionByName(
+            admitted.select(
+                "url_hash", "canonical_url",
+                F.lit(wave + 1).alias("first_wave"),
+                bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
+                    "partition_id"
+                ),
+            )
+        )
+
+        metrics = (
+            scheduled.groupBy("host")
+            .agg(F.count("*").alias("urls_scheduled"))
+            .join(
+                fetched.groupBy("host").agg(F.count("*").alias("urls_fetched")),
+                "host", "left",
+            )
+            .select(
+                F.lit(wave).alias("wave"), "host", "urls_scheduled",
+                F.coalesce("urls_fetched", F.lit(0)).alias("urls_fetched"),
+                F.lit(n_new).alias("urls_admitted"),
+                F.lit(n_err).alias("errors"),
+                F.lit(int((time.time() - t0) * 1000)).alias("wall_ms"),
+            )
+        )
+
+        self.store.commit_wave(
+            wave,
+            {
+                "frontier": frontier_next,
+                "url_seen": url_seen_next,
+                "fetched": fetched,
+                "metrics": metrics,
+            },
+            extra={"scheduled": n_sched, "fetched": n_fetched, "new": n_new},
+        )
+        scheduled.unpersist()
+        fetched.unpersist()
+
+        # lineage barrier: read back what we just committed
+        self.frontier = self.store.read(self.spark, wave, "frontier")
+        self.url_seen = self.store.read(self.spark, wave, "url_seen")
+        self.next_wave = wave + 1
+        stats = WaveStats(
+            wave, n_sched, n_fetched, n_new, n_err,
+            int((time.time() - t0) * 1000),
+        )
+        self.stats.append(stats)
+        return stats
+
+    # ------------------------------------------------------------- admission
+    def _admit(self, links: DataFrame, wave: int) -> DataFrame:
+        """Canonicalize → robots → in-batch dedup → bloom → exact anti-join."""
+        if links.isEmpty():
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        ident = with_url_identity(links)
+        allowed = filter_allowed(ident, self.disallow)
+
+        # in-batch dedup: same URL discovered by several parents this wave —
+        # keep (priority DESC, seq ASC) winner, matching simulator semantics
+        best = allowed.groupBy("url_hash").agg(
+            F.min_by(
+                F.struct("url", "canonical_url", "host", "priority", "depth", "seq"),
+                F.struct((-F.col("priority")).alias("np"), F.col("seq")),
+            ).alias("r")
+        ).select("url_hash", "r.*")
+
+        if self.use_bloom:
+            shards = bloom.build_shards(self.url_seen, self.num_bloom_shards)
+            probed = bloom.probe(best, shards, self.num_bloom_shards)
+            fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = suspect.join(
+                self.url_seen.select("url_hash"), "url_hash", "left_anti"
+            )
+            new = fresh.unionByName(confirmed_new)
+        else:
+            new = best.join(
+                self.url_seen.select("url_hash"), "url_hash", "left_anti"
+            )
+
+        return new.select(
+            "url", "canonical_url", "url_hash", "host",
+            F.col("priority").cast("long"),
+            F.col("depth").cast("int"),
+            F.lit(wave + 1).alias("wave"), F.col("seq").cast("long"),
+            F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
+        )
+
+    # ------------------------------------------------------------- full run
+    def run(self, max_waves: int = 100) -> list[WaveStats]:
+        for _ in range(max_waves):
+            if self.run_wave() is None:
+                break
+        return self.stats
+
+    # ------------------------------------------------------------- readouts
+    def crawl_order(self) -> DataFrame:
+        """All fetched rows in the global order contract."""
+        last = self.store.latest_wave()
+        frames = [
+            self.store.read(self.spark, w, "fetched") for w in range(last + 1)
+        ]
+        all_fetched = frames[0]
+        for f in frames[1:]:
+            all_fetched = all_fetched.unionByName(f)
+        return all_fetched.orderBy(
+            "wave", F.desc("priority"), "host", "seq"
+        )
+
+    def url_seen_set(self) -> DataFrame:
+        return self.url_seen.select("canonical_url")

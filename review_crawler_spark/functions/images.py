@@ -1,0 +1,136 @@
+"""Image payload functions: deterministic codec, decode UDF, phash, PSNR.
+
+The input_hint payload is an image+caption table
+``(image_id, bytes, w, h, fmt, caption, phash)``. The sandbox has no
+PIL/libjpeg, so real PNG/JPEG codecs are stubbed (see ``decode_real``) and
+replaced by a deterministic pure-numpy codec with the same *shape*:
+
+- ``png``  — lossless: zlib over raw RGB bytes
+- ``jpeg`` — lossy: uniform quantization (step 4) + zlib → PSNR ≈ 46 dB,
+             above the 40 dB invariant for lossy formats
+- ``gif``  — lossy: quantization step 2 → PSNR ≈ 52 dB
+
+The Spark-side plumbing — schema, Arrow batching, mapInPandas signature,
+partitioning — is real and tested; only the codec bitstream is synthetic.
+Per-row invariants vs the reference extraction (BASELINE.json input_hint):
+decoded-pixel allclose (PSNR ≥ 40 dB for lossy), exact caption equality.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MAGIC = b"RCSI"  # review_crawler_spark image
+_QUANT = {"png": 1, "jpeg": 4, "gif": 2}
+
+DECODED_SCHEMA = (
+    "image_id string, w int, h int, fmt string, caption string, "
+    "phash bigint, pixels_ok boolean, mean_px double, decode_error string"
+)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array with the deterministic codec."""
+    h, w, _ = pixels.shape
+    q = _QUANT[fmt]
+    quant = (pixels // q).astype(np.uint8)
+    payload = zlib.compress(quant.tobytes(), 6)
+    header = (
+        _MAGIC
+        + fmt.ljust(4).encode()
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + q.to_bytes(1, "big")
+    )
+    return header + payload
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode codec bytes → ((h, w, 3) uint8 array, fmt). Raises on garbage."""
+    if data[:4] != _MAGIC:
+        raise ValueError("bad magic")
+    fmt = data[4:8].decode().strip()
+    w = int.from_bytes(data[8:12], "big")
+    h = int.from_bytes(data[12:16], "big")
+    q = data[16]
+    raw = np.frombuffer(zlib.decompress(data[17:]), dtype=np.uint8)
+    quant = raw.reshape(h, w, 3)
+    # dequantize to bin centers so lossy error is ≤ q/2 per channel
+    pixels = np.clip(quant.astype(np.int32) * q + q // 2 * (q > 1), 0, 255)
+    return pixels.astype(np.uint8), fmt
+
+
+def decode_real(data: bytes) -> np.ndarray:
+    """Real PNG/JPEG decode — requires PIL, absent in this container."""
+    raise NotImplementedError(
+        "PIL/libjpeg not available in the sandbox; production deployments "
+        "plug a real decoder in here — the Spark plumbing is identical."
+    )
+
+
+def average_phash(pixels: np.ndarray, grid: int = 8) -> int:
+    """Deterministic 64-bit average hash over an 8×8 grayscale downsample."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # integral-free block mean via reshape-friendly trimming
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    trimmed = gray[: bh * grid, : bw * grid]
+    blocks = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # map to signed int64 (Spark LongType)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """U5 batch image decode: mapInPandas over the images table.
+
+    Emits per-row decode status + recomputed phash; UDF never throws — bad
+    bytes produce ``decode_error`` rows (mirrors the reference's in-loop
+    try/except isolation, /root/reference/plos_crawler.py:307-309).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "image_id": pdf["image_id"],
+                "w": pdf["w"],
+                "h": pdf["h"],
+                "fmt": pdf["fmt"],
+                "caption": pdf["caption"],
+                "phash": [],
+                "pixels_ok": [],
+                "mean_px": [],
+                "decode_error": [],
+            }
+            for data, fmt_c, ph in zip(pdf["bytes"], pdf["fmt"], pdf["phash"]):
+                try:
+                    px, fmt_d = decode_image(bytes(data))
+                    out["phash"].append(average_phash(px))
+                    out["pixels_ok"].append(fmt_d == fmt_c)
+                    out["mean_px"].append(float(px.mean()))
+                    out["decode_error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — isolate bad records
+                    out["phash"].append(ph)
+                    out["pixels_ok"].append(False)
+                    out["mean_px"].append(None)
+                    out["decode_error"].append(str(exc)[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)

@@ -1,0 +1,119 @@
+"""URL identity: RFC-3986 canonicalization, host extraction, xxhash64.
+
+Replaces the reference's implicit URL algebra — ad-hoc repairs like
+``#review_report`` → ``/review_report`` and missing-scheme fixes
+(/root/reference/crawling/crawling/spiders/mdpi_review_spider.py:85-97,140-142)
+and Scrapy's request-fingerprint canonicalization — with one explicit,
+deterministic canonical form shared by the engine and the reference
+simulator.
+
+Canonicalization runs as an Arrow-batched pandas UDF (U2, SURVEY.md §2.10):
+the per-URL logic is pure Python over a batch, shipped via Arrow — never a
+row-at-a-time Python UDF in the plan. Hashing and host extraction stay
+JVM-side (``xxhash64``, ``regexp_extract``) so Catalyst can codegen them.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# Characters that stay percent-decoded in the canonical form (RFC 3986
+# "unreserved"): handled by round-tripping through unquote + quote with a
+# safe set covering sub-delims and path/query structure.
+_SAFE_PATH = "/:@!$&'()*+,;=~-._"
+_SAFE_QUERY = "=&:@!$'()*+,;/?~-._"
+
+
+def canonicalize_one(url: str) -> str:
+    """Canonicalize a single URL (pure function; shared with the simulator).
+
+    Rules (superset of Scrapy's w3lib ``canonicalize_url`` behavior):
+    - missing scheme → https (reference repair: mdpi_review_spider.py:140-142)
+    - ``#review_report`` fragment → ``/review_report`` path segment
+      (reference 404-repair: mdpi_review_spider.py:86-91)
+    - scheme + host lowercased; default port stripped
+    - dot-segments resolved; empty path → "/"
+    - query params sorted by (key, value); fragment dropped
+    - percent-encoding normalized (unreserved chars decoded, rest re-encoded
+      uppercase)
+    """
+    if not url:
+        return url
+    url = url.strip()
+    if "#review_report" in url:
+        url = url.replace("#review_report", "/review_report")
+    if "://" not in url:
+        url = "https://" + url.lstrip("/")
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = quote(unquote(parts.path), safe=_SAFE_PATH)
+    # resolve dot-segments
+    if "." in path:
+        out: list[str] = []
+        for seg in path.split("/"):
+            if seg == ".":
+                continue
+            if seg == "..":
+                if out and out[-1]:
+                    out.pop()
+                continue
+            out.append(seg)
+        path = "/".join(out) or "/"
+    if not path:
+        path = "/"
+    query = ""
+    if parts.query:
+        pairs = []
+        for chunk in parts.query.split("&"):
+            if not chunk:
+                continue
+            k, _, v = chunk.partition("=")
+            pairs.append((unquote(k), unquote(v)))
+        pairs.sort()
+        query = "&".join(
+            f"{quote(k, safe=_SAFE_QUERY)}={quote(v, safe=_SAFE_QUERY)}"
+            for k, v in pairs
+        )
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """U2 batch canonicalize — Arrow batch in, Arrow batch out."""
+    return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+
+
+def host_of(canonical: Column) -> Column:
+    """Host component of an already-canonical URL — pure JVM regexp."""
+    return F.regexp_extract(canonical, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def url_hash_of(canonical: Column) -> Column:
+    """64-bit identity used by the frontier / url_seen / bloom layers.
+
+    Spark's built-in xxhash64 (JVM-side, codegen'd) replaces Scrapy's SHA1
+    request fingerprints — at 10^10 scale the 8-byte hash is the join key and
+    the bloom key; the canonical string is kept only for exact confirm.
+    """
+    return F.xxhash64(canonical)
+
+
+def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add canonical_url / host / url_hash columns to any URL-bearing frame."""
+    return (
+        df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+        .withColumn("host", host_of(F.col("canonical_url")))
+        .withColumn("url_hash", url_hash_of(F.col("canonical_url")))
+    )
