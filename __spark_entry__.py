@@ -1,38 +1,741 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query smoke check at sf0.001
+queries()    — one entry per implemented operator (SURVEY.md §2); each
+               callable (spark, sf_dir) -> DataFrame
+oracle_sql() — DuckDB twin for every SQL-expressible query (same column
+               names; value-hash compared order-insensitively at sf0.01)
+
+Numeric determinism rules used throughout:
+- money sums go through decimal(38,4) so Spark's partial-agg order and
+  DuckDB's serial sum agree bit-for-bit;
+- ratios of small ints (jaccard) round at 6dp — identical in both engines;
+- floating dot products are sequential folds in both engines; columns where
+  cross-engine float identity is not guaranteed are excluded from output
+  (ids only) rather than risking hash mismatches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_crawler_spark.operators import dedup as D
+from review_crawler_spark.operators import similarity as S
+from review_crawler_spark.functions import text as X
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic ANN query vector (shared by Spark + SQL literals)
+ANN_QUERY = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(64)]
+
+
+# --------------------------------------------------------------------------
+# flagship: the crawl-scheduler core (canonical frontier → per-host
+# politeness top-k), expressed over the star schema so it is oracle-checkable
+# --------------------------------------------------------------------------
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling: treat orders as discovered URLs — host from
+    customer shard, priority = recency (epoch day), politeness budget 8 per
+    host — and emit the scheduled wave in crawl order (W2/O3, SURVEY §2.9)."""
+    orders = load(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.format_string(
+            "https://h%d.example.org/order/%d",
+            (F.col("o_custkey") % 50).cast("int"),
+            F.col("o_orderkey"),
+        ).alias("url"),
+        F.format_string("h%d.example.org", (F.col("o_custkey") % 50).cast("int")).alias(
+            "host"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+    return (
+        frontier.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("host", "url", "priority", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH frontier AS (
+  SELECT
+    printf('https://h%d.example.org/order/%d',
+           CAST(o_custkey % 50 AS INT), o_orderkey) AS url,
+    printf('h%d.example.org', CAST(o_custkey % 50 AS INT)) AS host,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      AS priority,
+    o_orderkey AS seq
+  FROM orders
+), ranked AS (
+  SELECT host, url, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority DESC, seq ASC) AS INT) AS rk
+  FROM frontier
+)
+SELECT host, url, priority, rk FROM ranked WHERE rk <= 8
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# operator queries
+# --------------------------------------------------------------------------
+
+def _q_w1_latest_version(spark, sf_dir):
+    """W1 latest-version-per-key (elife_crawler.py:219-234 arg-max) over
+    events: newest event per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_SQL_W1 = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _q_j1_semi(spark, sf_dir):
+    """J1 semi join: customers having orders, counted per segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SQL_J1 = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def _q_j2_anti(spark, sf_dir):
+    """J2 anti join (resume-skip semantics, plos_crawler.py:293-297)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    f_orders = o.filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        f_orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_J2 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def _q_j6_broadcast_dim(spark, sf_dir):
+    """J6 dim lookup: journals.json analog — broadcast region/nation dims."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("total_bal"),
+        )
+    )
+
+
+_SQL_J6 = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR)
+         AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_a1_conditional_counts(spark, sf_dir):
+    """A1 count-with-predicate (crawl-loop counters, plos_crawler.py:286-312)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .cast("string")
+        .alias("total_price"),
+    )
+
+
+_SQL_A1 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR)
+         AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_a4_group_max(spark, sf_dir):
+    """A4 group-max (max review round per article analog)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max(F.col("value").cast("decimal(38,6)")).cast("string").alias("max_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SQL_A4 = """
+SELECT user_id,
+       CAST(max(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS max_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def _q_w2_topk_per_group(spark, sf_dir):
+    """W2/O3 per-host top-k — top-3 orders per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_SQL_W2 = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _q_w3_ordinals(spark, sf_dir):
+    """W3 sub-article id generation: '<key>.s<n>' (plos_crawler.py:84-90)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "%d.s%d", F.col("l_orderkey"), F.row_number().over(w)
+        ).alias("item_id"),
+    )
+
+
+_SQL_W3 = """
+SELECT l_orderkey, l_linenumber,
+       printf('%d.s%d', l_orderkey,
+              row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber))
+         AS item_id
+FROM lineitem
+"""
+
+
+def _q_o1_sequence_explode(spark, sf_dir):
+    """O1 page-range frontier generation: sequence + explode (article_spider.py:42-68)."""
+    hosts = (
+        load(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("host"), F.col("n_nationkey"))
+        .filter(F.col("n_nationkey") < 5)
+    )
+    return hosts.select(
+        "host",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("page_no"),
+    ).select(
+        "host",
+        "page_no",
+        F.format_string("https://%s/search?page_no=%d", F.lower("host"), F.col("page_no")).alias(
+            "page_url"
+        ),
+    )
+
+
+_SQL_O1 = """
+SELECT n_name AS host, CAST(r AS INT) AS page_no,
+       printf('https://%s/search?page_no=%d', lower(n_name), r) AS page_url
+FROM nation, range(0, 5) t(r)
+WHERE n_nationkey < 5
+"""
+
+
+def _q_u1_union_distinct(spark, sf_dir):
+    """U1/U3 union + distinct across two discovery channels."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    return a.unionByName(b).distinct().agg(F.count("*").alias("n_keys"))
+
+
+_SQL_U1 = """
+SELECT count(*) AS n_keys FROM (
+  SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
+)
+"""
+
+
+def _q_x_doi_strings(spark, sf_dir):
+    """X1-X5 DOI/string algebra on synthetic DOIs."""
+    d = load(spark, sf_dir, "documents")
+    doi = F.concat(F.lit("https://doi.org/10.3390/j"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        doi.alias("doi"),
+        F.regexp_extract(doi, r"([^/]+)$", 1).alias("short_doi"),
+        F.concat(F.lit("https://www.mdpi.com/"), F.regexp_extract(doi, r"([^/]+)$", 1)).alias(
+            "article_url"
+        ),
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int").alias("source_num"),
+    )
+
+
+_SQL_XSTR = """
+SELECT doc_id,
+       'https://doi.org/10.3390/j' || CAST(doc_id AS VARCHAR) AS doi,
+       regexp_extract('https://doi.org/10.3390/j' || CAST(doc_id AS VARCHAR),
+                      '([^/]+)$', 1) AS short_doi,
+       'https://www.mdpi.com/' ||
+         regexp_extract('https://doi.org/10.3390/j' || CAST(doc_id AS VARCHAR),
+                        '([^/]+)$', 1) AS article_url,
+       CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS source_num
+FROM documents
+"""
+
+
+def _q_x13_dates(spark, sf_dir):
+    """X13-X16 date decomposition/formatting (rarticle.py:233-301)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("day"),
+        F.date_format(d, "yyyy-MM-dd").alias("ymd"),
+        F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long").alias("epoch_day"),
+    )
+
+
+_SQL_X13 = """
+SELECT o_orderkey,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+       CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+       CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS day,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ymd,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS epoch_day
+FROM orders
+"""
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (decimal sums for determinism)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("string").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("string").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount")))
+                .cast("decimal(38,8)")
+            )
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) *
+       (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4))) AS DECIMAL(38,8)))
+       AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (md5 of normalized text)."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d)
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS group_size, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex + stopword counts."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        X.stopword_count(F.col("text")).alias("n_stopwords"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+_SQL_TEXT_STATS = (
+    """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '(?i)\\b("""
+    + "|".join(X.EN_STOPWORDS)
+    + """)\\b')) AS n_stopwords,
+       len(text) AS n_chars_actual
+FROM documents
+"""
+)
+
+
+def _q_text_langid(spark, sf_dir):
+    """Language-ID heuristic vs the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_LANGID = (
+    """
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '(?i)\\b("""
+    + "|".join(X.EN_STOPWORDS)
+    + """)\\b')) AS n_stop,
+         greatest(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)
+           AS n_tok
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tok > 0.12 THEN 'en'
+            ELSE 'other' END AS lang_guess,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+)
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_no", sess.cast("int"))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+  FROM gaps
+)
+SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+def _q_window_tumbling(spark, sf_dir):
+    """Tumbling 5-min windows per event_type (streaming agg shape)."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    return ev.groupBy(bucket.alias("win_start"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("sum_value"),
+    )
+
+
+_SQL_TUMBLING = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, event_type,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_json(spark, sf_dir):
+    """X22 JSON extraction: props->'k' avg per event type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(json_extract_string(props, '$.k')) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_version_dedup(spark, sf_dir):
+    """S2/W1 filename version dedup (elife-NNNNN-vK.xml arg-max) mapped onto
+    documents: article_id = doc_id % 97, version = doc_id."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        (F.col("doc_id") % 97).alias("article_id"),
+        F.col("doc_id").alias("version"),
+    )
+    w = Window.partitionBy("article_id").orderBy(F.desc("version"))
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("article_id", "version")
+    )
+
+
+_SQL_VERSION_DEDUP = """
+SELECT article_id, version FROM (
+  SELECT doc_id % 97 AS article_id, doc_id AS version,
+         row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id DESC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 2-gram Jaccard pairs within source buckets (ids only — the
+    jaccard double is verified in tests; cross-engine float identity of the
+    division is checked there too)."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, bucket_col="lang", threshold=0.3, shingle_k=2).select(
+        "id_a", "id_b"
+    )
+
+
+_SQL_NGRAM_JACCARD = """
+WITH shingled AS (
+  SELECT doc_id, lang,
+         list_distinct(
+           list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i + 1])) AS sh
+  FROM (
+    SELECT doc_id, lang,
+           regexp_split_to_array(
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')), ' ') AS words
+    FROM documents
+  )
+  WHERE len(words) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM shingled a JOIN shingled b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.3
+"""
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a constant query vector (ids + rank)."""
+    e = load(spark, sf_dir, "embeddings")
+    top = S.cosine_topk(e, ANN_QUERY, k=10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.select("vec_id", F.row_number().over(w).cast("int").alias("rank"))
+
+
+def _sql_ann_topk() -> str:
+    vec = "[" + ", ".join(f"{x!r}" for x in ANN_QUERY) + "]"
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                CAST({vec} AS DOUBLE[])) AS cosine
+  FROM embeddings
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT)
+       AS rank
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label buckets (ids only)."""
+    e = load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
+
+
+_SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64 lanes — no SQL oracle; recall/
+    precision properties tested in tests/test_dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, jaccard_threshold=0.5, shingle_k=3)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF hash — no SQL oracle)."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, max_hamming=3)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; recall vs brute force tested)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_frontier_schedule": _flagship,
+        "w1_latest_version": _q_w1_latest_version,
+        "j1_semi_customers_with_orders": _q_j1_semi,
+        "j2_anti_customers_without_orders": _q_j2_anti,
+        "j6_broadcast_dims": _q_j6_broadcast_dim,
+        "a1_conditional_counts": _q_a1_conditional_counts,
+        "a4_group_max": _q_a4_group_max,
+        "w2_topk_per_group": _q_w2_topk_per_group,
+        "w3_ordinals": _q_w3_ordinals,
+        "o1_sequence_explode": _q_o1_sequence_explode,
+        "u1_union_distinct": _q_u1_union_distinct,
+        "x_doi_strings": _q_x_doi_strings,
+        "x13_dates": _q_x13_dates,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "sessionize": _q_sessionize,
+        "window_tumbling": _q_window_tumbling,
+        "events_json": _q_events_json,
+        "version_dedup": _q_version_dedup,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk_lsh": _q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_frontier_schedule": _FLAGSHIP_SQL,
+        "w1_latest_version": _SQL_W1,
+        "j1_semi_customers_with_orders": _SQL_J1,
+        "j2_anti_customers_without_orders": _SQL_J2,
+        "j6_broadcast_dims": _SQL_J6,
+        "a1_conditional_counts": _SQL_A1,
+        "a4_group_max": _SQL_A4,
+        "w2_topk_per_group": _SQL_W2,
+        "w3_ordinals": _SQL_W3,
+        "o1_sequence_explode": _SQL_O1,
+        "u1_union_distinct": _SQL_U1,
+        "x_doi_strings": _SQL_XSTR,
+        "x13_dates": _SQL_X13,
+        "tpch_q1": _SQL_Q1,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "text_stats": _SQL_TEXT_STATS,
+        "text_langid": _SQL_LANGID,
+        "sessionize": _SQL_SESSIONIZE,
+        "window_tumbling": _SQL_TUMBLING,
+        "events_json": _SQL_EVENTS_JSON,
+        "version_dedup": _SQL_VERSION_DEDUP,
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "ann_topk": _sql_ann_topk(),
+        "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
+        # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
+        # rows-only driver check; properties covered in tests/.
+    }

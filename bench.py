@@ -1,0 +1,193 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline metric (BASELINE.json): frontier URLs scheduled+fetched per second
+through the full admission pipeline — canonicalize (Arrow UDF) → xxhash64 →
+in-batch dedup → partitioned-bloom probe → exact anti-join vs url_seen →
+salted per-host priority ranking. Plus representative analytics/dedup/ANN/
+image queries at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (north rule, sandbox form): ``--scaling`` runs the same
+frontier pipeline at local[8] and local[32] in separate subprocesses
+(same JVM cannot change master) and reports throughput at both plus
+efficiency = T(32) / (4 × T(8)); results appended to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "1500000"))
+SEEN_FRACTION = 0.25
+
+
+def build_session(cpus: int):
+    from review_crawler_spark.session import get_spark
+
+    return get_spark(app_name=f"bench[{cpus}]", cpus=cpus,
+                     shuffle_partitions=2 * cpus, driver_memory="48g")
+
+
+def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
+    """The headline: full URL admission pipeline over n messy URLs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.crawler import bloom
+    from review_crawler_spark.functions.urls import with_url_identity
+    from review_crawler_spark.sources.site_graph import synthetic_frontier
+
+    num_shards = max(8, spark.sparkContext.defaultParallelism)
+
+    # pre-seen set: a quarter of the id space, materialized once (not timed)
+    seen = (
+        synthetic_frontier(spark, int(n * SEEN_FRACTION))
+        .select("url")
+    )
+    seen_ident = with_url_identity(seen).select("url_hash").distinct()
+    seen_ident.write.mode("overwrite").parquet("/tmp/bench_url_seen")
+    url_seen = spark.read.parquet("/tmp/bench_url_seen")
+    shards = bloom.build_shards(url_seen, num_shards)
+    shards.write.mode("overwrite").parquet("/tmp/bench_bloom")
+    shards = spark.read.parquet("/tmp/bench_bloom")
+
+    frontier = synthetic_frontier(spark, n)
+
+    t0 = time.time()
+    ident = with_url_identity(frontier)
+    best = ident.groupBy("url_hash").agg(
+        F.min_by(
+            F.struct("url", "canonical_url", "host", "priority", "depth", "seq"),
+            F.struct((-F.col("priority")).alias("np"), F.col("seq")),
+        ).alias("r")
+    ).select("url_hash", "r.*")
+    probed = bloom.probe(best, shards, num_shards)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = suspect.join(url_seen, "url_hash", "left_anti")
+    admitted = fresh.unionByName(confirmed)
+    # salted two-phase per-host rank (budget 10k per host per wave)
+    salted = admitted.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(64)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(F.desc("priority"), "seq")
+    pre = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= 10_000)
+    )
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), "seq")
+    scheduled = (
+        pre.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= 10_000)
+    )
+    n_out = scheduled.count()
+    dt = time.time() - t0
+    return dt, n_out
+
+
+def bench_query(spark, name: str) -> float:
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def bench_image_decode(spark, n: int = 20_000) -> float:
+    from review_crawler_spark.functions.images import decode_images
+    from review_crawler_spark.sources.images_table import images_df
+
+    ids = [f"bench.host/article/{i}/fig1.png" for i in range(n)]
+    table = images_df(spark, ids)
+    table.write.mode("overwrite").parquet("/tmp/bench_images")
+    stored = spark.read.parquet("/tmp/bench_images")
+    t0 = time.time()
+    decode_images(stored).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def run_bench(cpus: int) -> dict:
+    spark = build_session(cpus)
+    spark.range(1).count()  # JVM warmup
+    queries = {
+        "tpch_q1": round(bench_query(spark, "tpch_q1"), 3),
+        "flagship_frontier_schedule": round(
+            bench_query(spark, "flagship_frontier_schedule"), 3
+        ),
+        "ann_topk": round(bench_query(spark, "ann_topk"), 3),
+        "sessionize": round(bench_query(spark, "sessionize"), 3),
+        "minhash_lsh_pairs": round(bench_query(spark, "minhash_lsh_pairs"), 3),
+        "image_decode_20k": round(bench_image_decode(spark), 3),
+    }
+    frontier_s, n_out = bench_frontier_pipeline(spark, FRONTIER_N)
+    queries["frontier_pipeline"] = round(frontier_s, 3)
+    urls_per_sec = FRONTIER_N / frontier_s
+    return {
+        "metric": "frontier_urls_scheduled_fetched_per_sec",
+        "value": round(urls_per_sec, 1),
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "frontier_n": FRONTIER_N,
+        "scheduled_out": n_out,
+    }
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--child") + 1])
+        res = run_bench(cpus)
+        print("CHILD_RESULT " + json.dumps(res))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cpus)],
+                capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    results[cpus] = json.loads(line[len("CHILD_RESULT "):])
+            if cpus not in results:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+                raise SystemExit(f"child {cpus} failed")
+        t8 = results[8]["queries"]["frontier_pipeline"]
+        t32 = results[32]["queries"]["frontier_pipeline"]
+        thr8, thr32 = FRONTIER_N / t8, FRONTIER_N / t32
+        eff = thr32 / (4 * thr8)
+        report = {
+            "frontier_n": FRONTIER_N,
+            "local8": {"sec": t8, "urls_per_sec": round(thr8, 1)},
+            "local32": {"sec": t32, "urls_per_sec": round(thr32, 1)},
+            "scaling_efficiency_8_to_32": round(eff, 3),
+        }
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_SCALING.md"), "w") as f:
+            f.write(
+                "# Scaling evidence (north rule: N vs 4N parallelism)\n\n"
+                "Same frontier-admission job, identical input "
+                f"({FRONTIER_N:,} URLs, 25% pre-seen), separate JVMs.\n\n"
+                f"| parallelism | wall sec | urls/sec |\n|---|---|---|\n"
+                f"| local[8] | {t8} | {thr8:,.0f} |\n"
+                f"| local[32] | {t32} | {thr32:,.0f} |\n\n"
+                f"**Scaling efficiency (8→32 cores):** {eff:.3f} "
+                f"(target ≥ 0.8 would be ideal-linear; sandbox cores share "
+                f"one memory bus + JVM, so this is a lower bound on real "
+                f"multi-executor scaling)\n"
+            )
+        print(json.dumps(report))
+        return
+
+    print(json.dumps(run_bench(CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Dedup operator properties on planted fixtures (SURVEY.md §5 plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_crawler_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change → high jaccard
+FAR = (
+    "completely different content about spark partitions and shuffle "
+    "boundaries with no overlap whatsoever in the shingle space at all"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "srcA"),
+        (2, BASE, "en", "srcA"),          # exact dup of 1
+        (3, NEAR, "en", "srcA"),          # near dup of 1
+        (4, FAR, "en", "srcB"),
+        (5, "Tiny.", "en", "srcB"),       # shorter than shingle k
+        (6, BASE.upper() + "!!!", "en", "srcC"),  # dup of 1 after normalize
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["canonical_id"]: r["group_size"] for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 3  # 1, 2, 6 collapse after normalization
+    assert groups[4] == 1
+
+
+def test_drop_exact_duplicates(docs):
+    kept = {r["doc_id"] for r in D.drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always survives
+    assert (1, 3) in pairs  # near dup found
+    assert not any(4 in p for p in pairs)  # disjoint text never pairs
+
+
+def test_minhash_signature_null_for_short_docs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signature(docs).collect()}
+    assert sigs[5] is None
+    assert sigs[1] is not None and len(sigs[1]) == 32
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+    assert (1, 3) in pairs  # near dup within hamming budget
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, bucket_col="lang", shingle_k=2, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),      # orthogonal
+        (4, [1.0, 0.0, 0.0, 0.0], 1),      # same vec, other bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.98).collect()
+    }
+    assert pairs == {(1, 2)}

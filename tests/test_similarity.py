@@ -1,0 +1,59 @@
+"""ANN operators: brute-force exactness + LSH recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from review_crawler_spark.operators import similarity as S
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # clustered vectors — the realistic ANN regime (neighbors are close)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, DIM))
+    idx = rng.integers(0, 20, size=300)
+    vecs = (centers[idx] + 0.15 * rng.standard_normal((300, DIM))).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(idx[i])) for i in range(300)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ), vecs, centers
+
+
+def brute_topk(vecs: np.ndarray, q: np.ndarray, k: int) -> list[int]:
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(vecs)), key=lambda i: (-round(cos[i], 6), i))
+    return order[:k]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs, centers = emb
+    q = centers[3]
+    got = [r["vec_id"] for r in S.cosine_topk(df, list(q), k=10).collect()]
+    assert got == brute_topk(vecs, q, 10)
+
+
+def test_ann_lsh_recall(emb):
+    df, vecs, centers = emb
+    recalls = []
+    for c in (1, 4, 9):
+        q = centers[c]
+        exact = set(brute_topk(vecs, q, 10))
+        approx = {
+            r["vec_id"]
+            for r in S.ann_topk_lsh(
+                df, list(q), k=10, num_planes=12, max_hamming=3
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, f"LSH recall too low: {recalls}"
+
+
+def test_hyperplane_signatures_deterministic(emb):
+    df, _, _ = emb
+    s1 = {r["vec_id"]: r["sig"] for r in S.hyperplane_signatures(df, dim=DIM).collect()}
+    s2 = {r["vec_id"]: r["sig"] for r in S.hyperplane_signatures(df, dim=DIM).collect()}
+    assert s1 == s2
