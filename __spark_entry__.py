@@ -678,6 +678,130 @@ def _q_ann_lsh(spark, sf_dir):
     return S.ann_topk_lsh(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
+def _q_jats_parse(spark, sf_dir):
+    """U1 JATS parse round-trip: generate a deterministic JATS corpus from
+    doc_ids, parse with the batch UDF, emit scalar fields. The oracle
+    reconstructs every field arithmetically (the generator is closed-form),
+    so this verifies the full generate→serialize→parse path."""
+    from review_crawler_spark.functions.parse import parse_jats_udf
+    from review_crawler_spark.sources.corpus import jats_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_jats_udf(jats_corpus(ids))
+    return parsed.select(
+        "doc_id", "doi", "short_doi", "title",
+        F.size("authors").alias("n_authors"),
+        "journal_abbrev", "volume", "issue",
+        "pub_year", "pub_month", "pub_day",
+        F.size("keywords").alias("n_keywords"),
+        "retracted", "has_reviews", "n_sub_articles",
+    )
+
+
+_SQL_JATS_PARSE = """
+SELECT doc_id,
+  'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR) AS doi,
+  'synth.' || CAST(doc_id AS VARCHAR) AS short_doi,
+  'Synthetic study ' || CAST(doc_id AS VARCHAR) || ' on parameter '
+    || CAST(doc_id % 7 AS VARCHAR) AS title,
+  CAST(1 + doc_id % 4 AS INT) AS n_authors,
+  'synthj' || CAST(doc_id % 10 AS VARCHAR) AS journal_abbrev,
+  CAST(1 + doc_id % 20 AS INT) AS volume,
+  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(1 + doc_id % 4 AS INT) END AS issue,
+  CAST(2015 + doc_id % 10 AS INT) AS pub_year,
+  CAST(1 + doc_id % 12 AS INT) AS pub_month,
+  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(1 + doc_id % 28 AS INT) END AS pub_day,
+  CAST(doc_id % 5 AS INT) AS n_keywords,
+  doc_id % 41 = 0 AS retracted,
+  doc_id % 3 = 0 AS has_reviews,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 2 * (1 + doc_id % 3) + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+       ELSE 0 END AS INT) AS n_sub_articles
+FROM documents
+"""
+
+
+def _q_sub_articles_explode(spark, sf_dir):
+    """U6/X19 sub-article explode + F8 acceptance-letter filter + X9/W3 id
+    generation + J5 parent linkage, end to end."""
+    from review_crawler_spark.functions.parse import parse_jats_udf
+    from review_crawler_spark.sources.corpus import jats_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_jats_udf(jats_corpus(ids))
+    exploded = parsed.select(
+        "doc_id", F.explode("sub_articles").alias("sub")
+    )
+    return exploded.filter(
+        F.col("sub.specific_use").isNull()
+        | (F.col("sub.specific_use") != "acceptance-letter")
+    ).select(
+        "doc_id",
+        F.col("sub.id").alias("sub_id"),
+        F.col("sub.original_article_doi").alias("original_article_doi"),
+        F.col("sub.type").alias("sub_type"),
+        F.col("sub.round").alias("round"),
+    )
+
+
+_SQL_SUB_ARTICLES = """
+WITH reviewed AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_rounds
+  FROM documents WHERE doc_id % 3 = 0
+), rounds AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, n_rounds)) AS INT) AS rnd
+  FROM reviewed
+)
+SELECT doc_id,
+       'synth.' || CAST(doc_id AS VARCHAR) || '.r' || CAST(rnd AS VARCHAR) AS sub_id,
+       'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR)
+         AS original_article_doi,
+       'aggregated-review-documents' AS sub_type, rnd AS round
+FROM rounds
+UNION ALL
+SELECT doc_id,
+       'synth.' || CAST(doc_id AS VARCHAR) || '.a' || CAST(rnd AS VARCHAR),
+       'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR),
+       'author-comment', rnd
+FROM rounds
+"""
+
+
+def _q_html_meta(spark, sf_dir):
+    """U4 HTML meta-tag extraction round-trip (mdpi_spider.py:49-106)."""
+    from review_crawler_spark.functions.parse import parse_html_udf
+    from review_crawler_spark.sources.corpus import html_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_html_udf(html_corpus(ids))
+    return parsed.select(
+        "doc_id", "title", "doi", "volume", "pub_year", "pub_month",
+        F.size("authors").alias("n_authors"),
+        F.size("keywords").alias("n_keywords"),
+        "retracted", "has_reviews", "reviews_url",
+    )
+
+
+_SQL_HTML_META = """
+SELECT doc_id,
+  'Synthetic study ' || CAST(doc_id AS VARCHAR) || ' on parameter '
+    || CAST(doc_id % 7 AS VARCHAR) AS title,
+  'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR) AS doi,
+  CAST(1 + doc_id % 20 AS INT) AS volume,
+  CAST(2015 + doc_id % 10 AS INT) AS pub_year,
+  CAST(1 + doc_id % 12 AS INT) AS pub_month,
+  CAST(1 + doc_id % 4 AS INT) AS n_authors,
+  CAST(doc_id % 5 AS INT) AS n_keywords,
+  doc_id % 41 = 0 AS retracted,
+  doc_id % 3 = 0 AS has_reviews,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'https://www.mdpi.com/synth/' || CAST(doc_id AS VARCHAR) || '/review_report'
+       ELSE NULL END AS reviews_url
+FROM documents
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -707,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_lsh,
+        "jats_parse_roundtrip": _q_jats_parse,
+        "sub_articles_explode": _q_sub_articles_explode,
+        "html_meta_extract": _q_html_meta,
     }
 
 
@@ -736,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "ann_topk": _sql_ann_topk(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
+        "jats_parse_roundtrip": _SQL_JATS_PARSE,
+        "sub_articles_explode": _SQL_SUB_ARTICLES,
+        "html_meta_extract": _SQL_HTML_META,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
         # rows-only driver check; properties covered in tests/.
     }

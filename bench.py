@@ -23,6 +23,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "1500000"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "10000000"))
 SEEN_FRACTION = 0.25
 
 
@@ -71,17 +72,21 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = suspect.join(url_seen, "url_hash", "left_anti")
     admitted = fresh.unionByName(confirmed)
-    # salted two-phase per-host rank (budget 10k per host per wave)
-    salted = admitted.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(64)))
+    # salted two-phase per-host rank: phase 1 caps each (host, salt) slice
+    # at the budget so the exact phase-2 per-host rank sees at most
+    # salts×budget rows per host — the skewed-host sort never serializes
+    # the full frontier (SURVEY.md §2.9 C5)
+    budget, salts = 2_000, 32
+    salted = admitted.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salts)))
     w1 = Window.partitionBy("host", "_salt").orderBy(F.desc("priority"), "seq")
     pre = (
         salted.withColumn("_rk1", F.row_number().over(w1))
-        .filter(F.col("_rk1") <= 10_000)
+        .filter(F.col("_rk1") <= budget)
     )
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), "seq")
     scheduled = (
         pre.withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") <= 10_000)
+        .filter(F.col("_rk") <= budget)
     )
     n_out = scheduled.count()
     dt = time.time() - t0
@@ -141,14 +146,24 @@ def run_bench(cpus: int) -> dict:
 
 def main() -> None:
     if "--child" in sys.argv:
+        # scaling child: frontier pipeline only, min of 2 runs (the sandbox
+        # host carries external load; min is the least-contended estimate)
         cpus = int(sys.argv[sys.argv.index("--child") + 1])
-        res = run_bench(cpus)
+        spark = build_session(cpus)
+        spark.range(1).count()
+        times = []
+        for _ in range(2):
+            dt, n_out = bench_frontier_pipeline(spark, SCALING_N)
+            times.append(dt)
+        res = {"cpus": cpus, "sec": round(min(times), 3), "runs": [round(t, 3) for t in times],
+               "scheduled_out": n_out}
         print("CHILD_RESULT " + json.dumps(res))
         return
 
     if "--scaling" in sys.argv:
+        pair = [int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")]
         results = {}
-        for cpus in (8, 32):
+        for cpus in pair:
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cpus)],
                 capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
@@ -160,25 +175,27 @@ def main() -> None:
             if cpus not in results:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
                 raise SystemExit(f"child {cpus} failed")
-        t8 = results[8]["queries"]["frontier_pipeline"]
-        t32 = results[32]["queries"]["frontier_pipeline"]
-        thr8, thr32 = FRONTIER_N / t8, FRONTIER_N / t32
-        eff = thr32 / (4 * thr8)
+        lo, hi = pair
+        t8 = results[lo]["sec"]
+        t32 = results[hi]["sec"]
+        thr8, thr32 = SCALING_N / t8, SCALING_N / t32
+        eff = thr32 / ((hi / lo) * thr8)
         report = {
-            "frontier_n": FRONTIER_N,
-            "local8": {"sec": t8, "urls_per_sec": round(thr8, 1)},
-            "local32": {"sec": t32, "urls_per_sec": round(thr32, 1)},
-            "scaling_efficiency_8_to_32": round(eff, 3),
+            "frontier_n": SCALING_N,
+            f"local{lo}": {"sec": t8, "urls_per_sec": round(thr8, 1)},
+            f"local{hi}": {"sec": t32, "urls_per_sec": round(thr32, 1)},
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_SCALING.md"), "w") as f:
             f.write(
                 "# Scaling evidence (north rule: N vs 4N parallelism)\n\n"
                 "Same frontier-admission job, identical input "
-                f"({FRONTIER_N:,} URLs, 25% pre-seen), separate JVMs.\n\n"
+                f"({SCALING_N:,} URLs, 25% pre-seen), separate JVMs, "
+                "min of 2 runs each (shared host carries external load).\n\n"
                 f"| parallelism | wall sec | urls/sec |\n|---|---|---|\n"
-                f"| local[8] | {t8} | {thr8:,.0f} |\n"
-                f"| local[32] | {t32} | {thr32:,.0f} |\n\n"
-                f"**Scaling efficiency (8→32 cores):** {eff:.3f} "
+                f"| local[{lo}] | {t8} | {thr8:,.0f} |\n"
+                f"| local[{hi}] | {t32} | {thr32:,.0f} |\n\n"
+                f"**Scaling efficiency ({lo}→{hi} cores):** {eff:.3f} "
                 f"(target ≥ 0.8 would be ideal-linear; sandbox cores share "
                 f"one memory bus + JVM, so this is a lower bound on real "
                 f"multi-executor scaling)\n"

@@ -1,0 +1,235 @@
+"""Batch parse UDFs: U1 (JATS XML → article struct + sub-articles) and
+U4 (HTML meta-tag extraction).
+
+Re-expresses the reference's parse layer as Arrow-batched mapInPandas:
+- U1 replaces ``parse_article_xml`` + the ``Article`` xpath property suite
+  (/root/reference/plos_crawler.py:126-225, elife_crawler.py:101-196,
+  rarticle.py title 985-999 / contributors 582-736 / dates 233-301 /
+  keywords 1427-1439 / sub-articles 1404-1411) with a single ElementTree
+  pass per document, batched over Arrow.
+- U4 replaces the BeautifulSoup meta-tag scrape
+  (/root/reference/crawling/crawling/spiders/mdpi_spider.py:49-106).
+
+UDFs never raise: malformed input produces a ``parse_error`` column
+(mirrors the reference's per-article try/except, plos_crawler.py:307-309).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from html import unescape
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ARTICLE_OUT_SCHEMA = (
+    "doc_id bigint, doi string, short_doi string, title string, "
+    "authors array<string>, journal_abbrev string, journal_title string, "
+    "volume int, issue int, "
+    "pub_year int, pub_month int, pub_day int, "
+    "keywords array<string>, retracted boolean, has_reviews boolean, "
+    "n_sub_articles int, "
+    "sub_articles array<struct<id:string, original_article_doi:string, "
+    "type:string, specific_use:string, round:int, "
+    "reviewers:array<struct<number:int, name:string>>>>, "
+    "parse_error string"
+)
+
+HTML_OUT_SCHEMA = (
+    "doc_id bigint, title string, doi string, journal_title string, "
+    "volume int, pub_year int, pub_month int, authors array<string>, "
+    "keywords array<string>, retracted boolean, has_reviews boolean, "
+    "reviews_url string, parse_error string"
+)
+
+_RETRACTION_RX = re.compile(r"Retraction published on \d+")
+_META_RX = re.compile(r'<meta name="([^"]+)" content="([^"]*)">')
+_REVIEW_LINK_RX = re.compile(r'<a href="([^"]*?/review_report)"')
+
+
+# --------------------------------------------------------------- U1: JATS
+
+def parse_jats(data: bytes) -> dict:
+    """Pure single-document JATS parse (shared by UDF and unit tests)."""
+    root = ET.fromstring(data)
+    meta = root.find("./front/article-meta")
+    jmeta = root.find("./front/journal-meta")
+
+    doi_el = meta.find('./article-id[@pub-id-type="doi"]')
+    raw_doi = doi_el.text if doi_el is not None else None
+    doi = f"https://doi.org/{raw_doi}" if raw_doi else None
+    short_doi = raw_doi.rsplit("/", 1)[-1] if raw_doi else None
+
+    title_el = meta.find("./title-group/article-title")
+    authors = []
+    for c in meta.findall('./contrib-group/contrib[@contrib-type="author"]'):
+        giv = c.findtext("./name/given-names") or ""
+        fam = c.findtext("./name/surname") or ""
+        authors.append((giv + " " + fam).strip())
+
+    def _int(el_text):
+        try:
+            return int(el_text) if el_text is not None else None
+        except ValueError:
+            return None
+
+    pub = meta.find('./pub-date[@pub-type="epub"]')
+    year = _int(pub.findtext("year")) if pub is not None else None
+    month = _int(pub.findtext("month")) if pub is not None else None
+    day = _int(pub.findtext("day")) if pub is not None else None
+
+    keywords = [k.text for k in meta.findall("./kwd-group/kwd")]
+    retracted = (
+        meta.find('./related-article[@related-article-type="retracted-article"]')
+        is not None
+    )
+
+    subs = []
+    counters: dict[str, int] = {}
+    for sa in root.findall("./sub-article"):
+        sa_type = sa.get("article-type") or "unknown"
+        specific_use = sa.get("specific-use")
+        rnd = _int(sa.findtext("./front-stub/custom-meta-group/custom-meta/meta-value"))
+        reviewers = []
+        for rc in sa.findall('./front-stub/contrib-group/contrib[@contrib-type="reviewer"]'):
+            reviewers.append(
+                {
+                    "number": _int(rc.findtext("./xref")),
+                    "name": rc.findtext("./name/surname"),
+                }
+            )
+        # id generation '<short>.r{N}' / '.a{N}' / '.x{N}'
+        # (plos_crawler.py:84-90 semantics)
+        kind = {"aggregated-review-documents": "r", "author-comment": "a"}.get(
+            sa_type, "x"
+        )
+        counters[kind] = counters.get(kind, 0) + 1
+        subs.append(
+            {
+                "id": f"{short_doi}.{kind}{counters[kind]}",
+                "original_article_doi": doi,
+                "type": sa_type,
+                "specific_use": specific_use,
+                "round": rnd,
+                "reviewers": reviewers or None,
+            }
+        )
+
+    return {
+        "doi": doi,
+        "short_doi": short_doi,
+        "title": title_el.text if title_el is not None else None,
+        "authors": authors,
+        "journal_abbrev": jmeta.findtext('./journal-id[@journal-id-type="publisher"]')
+        if jmeta is not None
+        else None,
+        "journal_title": jmeta.findtext("./journal-title-group/journal-title")
+        if jmeta is not None
+        else None,
+        "volume": _int(meta.findtext("./volume")),
+        "issue": _int(meta.findtext("./issue")),
+        "pub_year": year,
+        "pub_month": month,
+        "pub_day": day,
+        "keywords": keywords,
+        "retracted": retracted,
+        "has_reviews": len(subs) > 0,
+        "n_sub_articles": len(subs),
+        "sub_articles": subs,
+    }
+
+
+def parse_jats_udf(corpus: DataFrame, id_col: str = "doc_id", bytes_col: str = "xml") -> DataFrame:
+    """U1: corpus(doc_id, xml binary) → parsed article columns."""
+
+    defaults = {
+        "doi": None, "short_doi": None, "title": None, "authors": None,
+        "journal_abbrev": None, "journal_title": None, "volume": None,
+        "issue": None, "pub_year": None, "pub_month": None, "pub_day": None,
+        "keywords": None, "retracted": None, "has_reviews": None,
+        "n_sub_articles": None, "sub_articles": None,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[bytes_col]):
+                row = {"doc_id": doc_id, "parse_error": None, **defaults}
+                try:
+                    row.update(parse_jats(bytes(data)))
+                except Exception as exc:  # noqa: BLE001 — isolate bad docs
+                    row["parse_error"] = str(exc)[:200]
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return corpus.mapInPandas(batches, schema=ARTICLE_OUT_SCHEMA)
+
+
+# --------------------------------------------------------------- U4: HTML
+
+def parse_html_meta(html: str) -> dict:
+    """Pure single-page MDPI meta-tag extraction (regex; pages are
+    machine-generated so the tag shape is fixed)."""
+    metas: dict[str, list[str]] = {}
+    for name, content in _META_RX.findall(html):
+        metas.setdefault(name, []).append(unescape(content))
+
+    def first(name):
+        v = metas.get(name)
+        return v[0] if v else None
+
+    def _int(v):
+        try:
+            return int(v) if v is not None else None
+        except ValueError:
+            return None
+
+    pub = first("citation_publication_date")
+    year, month = (None, None)
+    if pub and "/" in pub:
+        y, m = pub.split("/", 1)
+        year, month = _int(y), _int(m)
+
+    kw = first("citation_keywords")
+    review_m = _REVIEW_LINK_RX.search(html)
+    raw_doi = first("citation_doi")
+    return {
+        "title": first("citation_title"),
+        "doi": f"https://doi.org/{raw_doi}" if raw_doi else None,
+        "journal_title": first("citation_journal_title"),
+        "volume": _int(first("citation_volume")),
+        "pub_year": year,
+        "pub_month": month,
+        "authors": metas.get("citation_author", []),
+        "keywords": kw.split("; ") if kw else [],
+        "retracted": _RETRACTION_RX.search(html) is not None,
+        "has_reviews": review_m is not None,
+        "reviews_url": review_m.group(1) if review_m else None,
+    }
+
+
+def parse_html_udf(pages: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """U4: pages(doc_id, html string) → extracted metadata columns."""
+
+    defaults = {
+        "title": None, "doi": None, "journal_title": None, "volume": None,
+        "pub_year": None, "pub_month": None, "authors": None,
+        "keywords": None, "retracted": None, "has_reviews": None,
+        "reviews_url": None,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, html in zip(pdf[id_col], pdf[html_col]):
+                row = {"doc_id": doc_id, "parse_error": None, **defaults}
+                try:
+                    row.update(parse_html_meta(html))
+                except Exception as exc:  # noqa: BLE001
+                    row["parse_error"] = str(exc)[:200]
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(batches, schema=HTML_OUT_SCHEMA)

@@ -89,10 +89,33 @@ def canonicalize_one(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Already-canonical URLs skip the slow path entirely: https scheme,
+# lowercase host, a path of segments none of which is "." / ".." and none
+# containing %-escapes, query, fragment, or port. Fuzz-tested against
+# canonicalize_one: every URL this accepts must be a fixed point.
+_FAST_CANONICAL = (
+    r"^https://[a-z0-9][a-z0-9.-]*"
+    r"(?:/(?!\.\.?(?:/|$))[!$&'()*+,;=~A-Za-z0-9:@._-]*)+$"
+)
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    """U2 batch canonicalize — Arrow batch in, Arrow batch out."""
-    return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+    """U2 batch canonicalize — Arrow batch in, Arrow batch out.
+
+    Vectorized fast path: one regex over the whole batch identifies URLs
+    that are already in canonical form (the common case in steady-state
+    crawls) and passes them through; only the messy remainder pays the
+    per-URL urllib cost.
+    """
+    fast = urls.str.match(_FAST_CANONICAL, na=False)
+    out = urls.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(
+            lambda u: canonicalize_one(u) if u is not None else None
+        )
+    return out
 
 
 def host_of(canonical: Column) -> Column:

@@ -1,0 +1,137 @@
+"""Parser golden tests — port of the reference's parser test strategy
+(/root/reference/tests/test_elife_crawler.py):
+
+- golden-linkage: every sub-article's original_article_doi == parent doi
+  (test_elife_crawler.py:40-41)
+- a known article has reviews (test_elife_crawler.py:36-39)
+- randomized corpus sample parses with a doi and ≥1 author
+  (test_elife_crawler.py:43-46)
+- golden fixture equality for one fully-specified article
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_crawler_spark.functions.parse import (
+    parse_html_meta,
+    parse_html_udf,
+    parse_jats,
+    parse_jats_udf,
+)
+from review_crawler_spark.sources import jats as G
+from review_crawler_spark.sources.corpus import html_corpus, jats_corpus
+
+
+def test_golden_fixture_article_12():
+    """Fully-specified expected parse for article 12 (has reviews: 12%3==0,
+    rounds=1+12%3=1, no acceptance letter since 12%9!=0)."""
+    got = parse_jats(G.make_jats_xml(12))
+    assert got["doi"] == "https://doi.org/10.9999/synth.12"
+    assert got["short_doi"] == "synth.12"
+    assert got["title"] == "Synthetic study 12 on parameter 5"
+    assert got["authors"] == ["Given12 Family12_0"]
+    assert got["journal_abbrev"] == "synthj2"
+    assert got["volume"] == 13
+    assert got["issue"] == 1
+    assert (got["pub_year"], got["pub_month"], got["pub_day"]) == (2017, 1, None)
+    assert got["keywords"] == ["kw36", "kw37"]
+    assert got["retracted"] is False
+    assert got["has_reviews"] is True
+    assert got["n_sub_articles"] == 2
+    review, reply = got["sub_articles"]
+    assert review["id"] == "synth.12.r1"
+    assert review["type"] == "aggregated-review-documents"
+    assert review["round"] == 1
+    assert review["reviewers"][0]["number"] == 1
+    assert reply["id"] == "synth.12.a1"
+    assert reply["type"] == "author-comment"
+
+
+def test_sub_article_linkage_random_sample():
+    rng = random.Random(42)
+    for _ in range(100):
+        a = rng.randrange(0, 10_000)
+        got = parse_jats(G.make_jats_xml(a))
+        assert got["doi"] == G.doi_of(a)
+        assert len(got["authors"]) >= 1
+        for sub in got["sub_articles"]:
+            assert sub["original_article_doi"] == got["doi"]
+
+
+def test_acceptance_letter_present_when_expected():
+    got = parse_jats(G.make_jats_xml(9))  # 9%3==0 and 9%9==0
+    uses = [s["specific_use"] for s in got["sub_articles"]]
+    assert "acceptance-letter" in uses
+
+
+def test_html_meta_roundtrip():
+    for a in (0, 7, 12, 41, 82):
+        got = parse_html_meta(G.make_mdpi_html(a))
+        assert got["title"] == G.title_of(a)
+        assert got["doi"] == G.doi_of(a)
+        assert got["authors"] == G.authors_of(a)
+        assert got["keywords"] == G.keywords_of(a)
+        assert got["has_reviews"] == G.has_reviews_of(a)
+        assert got["retracted"] == G.retracted_of(a)
+        if got["has_reviews"]:
+            assert got["reviews_url"].endswith("/review_report")
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    corpus = jats_corpus(ids)
+    return parse_jats_udf(corpus).cache()
+
+
+def test_udf_no_parse_errors(parsed):
+    assert parsed.filter(F.col("parse_error").isNotNull()).count() == 0
+    assert parsed.count() == 200
+
+
+def test_udf_explode_linkage(parsed):
+    exploded = parsed.select(
+        "doi", F.explode("sub_articles").alias("sub")
+    )
+    bad = exploded.filter(F.col("sub.original_article_doi") != F.col("doi"))
+    assert bad.count() == 0
+
+
+def test_udf_acceptance_letter_filter(parsed):
+    """F8: filter specific_use == 'acceptance-letter'
+    (plos_crawler.py:177-180)."""
+    exploded = parsed.select(F.explode("sub_articles").alias("sub"))
+    kept = exploded.filter(
+        F.col("sub.specific_use").isNull()
+        | (F.col("sub.specific_use") != "acceptance-letter")
+    )
+    n_all = exploded.count()
+    n_kept = kept.count()
+    n_acc = sum(
+        1 for a in range(200) if G.has_acceptance_letter(a)
+    )
+    assert n_all - n_kept == n_acc
+
+
+def test_udf_isolates_malformed_xml(spark):
+    corpus = spark.createDataFrame(
+        [(1, G.make_jats_xml(1)), (2, b"<article><unclosed")],
+        "doc_id long, xml binary",
+    )
+    out = {r["doc_id"]: r for r in parse_jats_udf(corpus).collect()}
+    assert out[1]["parse_error"] is None
+    assert out[2]["parse_error"] is not None  # never throws
+
+
+def test_html_udf(spark):
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    out = parse_html_udf(html_corpus(ids))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 60
+    assert rows[0]["parse_error"] is None
+    n_rev = sum(1 for r in rows.values() if r["has_reviews"])
+    assert n_rev == sum(1 for a in range(60) if G.has_reviews_of(a))

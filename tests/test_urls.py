@@ -44,6 +44,32 @@ def test_empty_path():
     assert canonicalize_one("https://a.com") == "https://a.com/"
 
 
+def test_fast_path_is_fixed_point():
+    """Every URL the vectorized fast-path regex accepts must be a fixed
+    point of the full canonicalizer (otherwise the fast path changes
+    semantics)."""
+    import random
+    import re
+    import string
+
+    from review_crawler_spark.functions.urls import _FAST_CANONICAL
+
+    rx = re.compile(_FAST_CANONICAL)
+    rng = random.Random(42)
+    chars = string.ascii_letters + string.digits + "/.-_~:@!$&'()*+,;=%?#"
+    checked = 0
+    for _ in range(20000):
+        u = (
+            "https://"
+            + "".join(rng.choice("abc09.-") for _ in range(rng.randrange(1, 8)))
+            + "".join(rng.choice(chars) for _ in range(rng.randrange(0, 24)))
+        )
+        if rx.match(u):
+            checked += 1
+            assert canonicalize_one(u) == u, u
+    assert checked > 100  # the fast path actually triggers
+
+
 def test_idempotent():
     urls = [
         "HTTPS://A.com:443/x/../y?b=2&a=1#frag",
