@@ -802,6 +802,187 @@ FROM documents
 
 
 
+def _q_f_filters(spark, sf_dir):
+    """F1/F3/F6/F7 filter battery: boolean key, extension, skip-list, domain
+    scope — composed as one predicate chain over documents."""
+    d = load(spark, sf_dir, "documents")
+    path = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".xml"))
+    return (
+        d.withColumn("path", path)
+        .filter(F.col("lang") == "en")                                  # F1
+        .filter(F.lower(F.regexp_extract("path", r"\.([^.]+)$", 1)) == "xml")  # F3
+        .filter(~F.col("text").contains("correction:"))                 # F4
+        .filter(F.col("source").isin("src1", "src3", "src5", "src7"))   # F7
+        .filter(F.col("n_chars") > 100)                                 # F6
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_F_FILTERS = """
+SELECT source, count(*) AS n_docs
+FROM documents
+WHERE lang = 'en'
+  AND lower(regexp_extract(source || '/' || CAST(doc_id AS VARCHAR) || '.xml',
+                           '\.([^.]+)$', 1)) = 'xml'
+  AND NOT contains(text, 'correction:')
+  AND source IN ('src1', 'src3', 'src5', 'src7')
+  AND n_chars > 100
+GROUP BY source
+"""
+
+
+def _q_a6_learn_pages(spark, sf_dir):
+    """A6 learn_search_pages (mdpi_spider.py:40-47): regex the page count off
+    a synthetic results page, then O1-generate the page-URL frontier."""
+    r = load(spark, sf_dir, "region")
+    page0 = r.select(
+        F.lower(F.col("r_name")).alias("host"),
+        F.format_string(
+            "<div>Displaying page 1 of %d results.</div>",
+            (F.col("r_regionkey") + 3).cast("int"),
+        ).alias("html"),
+    )
+    total = F.regexp_extract("html", r"page 1 of (\d+)", 1).cast("int")
+    return (
+        page0.withColumn("total_pages", total)
+        .select(
+            "host",
+            F.explode(F.sequence(F.lit(1), F.col("total_pages") - 1)).alias("page_no"),
+        )
+        .select(
+            "host",
+            "page_no",
+            F.format_string("https://%s.example.org/search?page_no=%d", F.col("host"), F.col("page_no")).alias("url"),
+        )
+    )
+
+
+_SQL_A6_PAGES = """
+WITH page0 AS (
+  SELECT lower(r_name) AS host,
+         CAST(regexp_extract('<div>Displaying page 1 of '
+              || CAST(r_regionkey + 3 AS VARCHAR) || ' results.</div>',
+              'page 1 of (\d+)', 1) AS INT) AS total_pages
+  FROM region
+)
+SELECT host, CAST(unnest(generate_series(1, total_pages - 1)) AS INT) AS page_no,
+       'https://' || host || '.example.org/search?page_no='
+         || CAST(unnest(generate_series(1, total_pages - 1)) AS VARCHAR) AS url
+FROM page0
+"""
+
+
+def _q_x21_flatten_dedup(spark, sf_dir):
+    """X21/U3: flatten + dedup collected id lists (fix_suppms semantics) —
+    sorted for determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(F.collect_list("l_suppkey"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("supp_ids"),
+        F.size(F.array_distinct(F.collect_list("l_suppkey"))).alias("n_supp"),
+    )
+
+
+_SQL_X21_FLATTEN = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list_distinct(list(l_suppkey))), ',') AS supp_ids,
+       CAST(len(list_distinct(list(l_suppkey))) AS INT) AS n_supp
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def _q_x8_scrub(spark, sf_dir):
+    """X8 hard-space scrub + whitespace collapse (rarticle.py:996-999)."""
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("\u00a0 "), F.col("text"), F.lit("  tail\u00a0end  "))
+    scrubbed = F.trim(
+        F.regexp_replace(F.regexp_replace(dirty, "\u00a0", " "), r"\s+", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.substring(scrubbed, 1, 30).alias("scrubbed_head"),
+    )
+
+
+_SQL_X8_SCRUB = """
+SELECT doc_id,
+       len(trim(regexp_replace(regexp_replace(
+           chr(160) || ' ' || text || '  tail' || chr(160) || 'end  ',
+           chr(160), ' ', 'g'), '\s+', ' ', 'g'))) AS scrubbed_len,
+       substring(trim(regexp_replace(regexp_replace(
+           chr(160) || ' ' || text || '  tail' || chr(160) || 'end  ',
+           chr(160), ' ', 'g'), '\s+', ' ', 'g')), 1, 30) AS scrubbed_head
+FROM documents
+"""
+
+
+def _q_j7_stage2_frontier(spark, sf_dir):
+    """J7 stage-2 frontier (mdpi_review_spider.py:57-81): reviewed articles
+    whose review pages were not yet fetched → new frontier rows."""
+    from review_crawler_spark.functions.parse import parse_jats_udf
+    from review_crawler_spark.sources.corpus import jats_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_jats_udf(jats_corpus(ids))
+    fetched_reviews = ids.filter(F.col("doc_id") % 6 == 0)  # already-crawled set
+    return (
+        parsed.filter(F.col("has_reviews"))
+        .join(fetched_reviews, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.format_string(
+                "https://www.mdpi.com/synth/%d/review_report", F.col("doc_id")
+            ).alias("reviews_url"),
+        )
+    )
+
+
+_SQL_J7_STAGE2 = """
+SELECT doc_id,
+       'https://www.mdpi.com/synth/' || CAST(doc_id AS VARCHAR)
+         || '/review_report' AS reviews_url
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 6 != 0
+"""
+
+
+def _q_f2_exists(spark, sf_dir):
+    """F2 reviewed-detection: exists(links, endswith review_report)
+    (mdpi_spider.py:91-101)."""
+    d = load(spark, sf_dir, "documents")
+    links = F.array(
+        F.format_string("https://h.org/a/%d", F.col("doc_id")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("https://h.org/a/%d/review_report", F.col("doc_id")),
+        ).otherwise(F.format_string("https://h.org/a/%d/pdf", F.col("doc_id"))),
+    )
+    return d.select(
+        "doc_id",
+        F.exists(links, lambda x: x.endswith("/review_report")).alias("has_reviews"),
+    )
+
+
+_SQL_F2_EXISTS = """
+SELECT doc_id,
+       len(list_filter(
+           [ 'https://h.org/a/' || CAST(doc_id AS VARCHAR),
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'https://h.org/a/' || CAST(doc_id AS VARCHAR) || '/review_report'
+                  ELSE 'https://h.org/a/' || CAST(doc_id AS VARCHAR) || '/pdf' END ],
+           x -> x LIKE '%/review_report')) > 0 AS has_reviews
+FROM documents
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -834,6 +1015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_parse_roundtrip": _q_jats_parse,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
+        "f_filters_battery": _q_f_filters,
+        "a6_learn_search_pages": _q_a6_learn_pages,
+        "x21_flatten_dedup": _q_x21_flatten_dedup,
+        "x8_scrub_whitespace": _q_x8_scrub,
+        "j7_stage2_frontier": _q_j7_stage2_frontier,
+        "f2_exists_reviews": _q_f2_exists,
     }
 
 
@@ -866,6 +1053,12 @@ def oracle_sql() -> dict[str, str]:
         "jats_parse_roundtrip": _SQL_JATS_PARSE,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,
+        "f_filters_battery": _SQL_F_FILTERS,
+        "a6_learn_search_pages": _SQL_A6_PAGES,
+        "x21_flatten_dedup": _SQL_X21_FLATTEN,
+        "x8_scrub_whitespace": _SQL_X8_SCRUB,
+        "j7_stage2_frontier": _SQL_J7_STAGE2,
+        "f2_exists_reviews": _SQL_F2_EXISTS,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
         # rows-only driver check; properties covered in tests/.
     }

@@ -1,0 +1,89 @@
+"""Structured Streaming wrappers around the frontier admission pipeline.
+
+The reference has no unbounded input (SURVEY.md §1.4) — batch waves are the
+primary mode — but a production crawler's discovery feed IS a stream, so the
+engine exposes:
+
+- ``admit_stream``: readStream over a drop directory of discovered-URL
+  parquet files → per-micro-batch admission (canonicalize → hash → dedup vs
+  the url_seen table) via foreachBatch, appending to url_seen and an
+  admitted sink exactly-once per batch id;
+- ``host_rate_metrics``: watermarked tumbling-window per-host discovery
+  rates (the politeness accounting signal, SURVEY.md §2.9 A7/C4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import with_url_identity
+
+DISCOVERED_SCHEMA = "url string, ts timestamp, priority long, depth int, seq long"
+
+
+def admit_stream(
+    spark: SparkSession,
+    input_dir: str,
+    url_seen_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the streaming admission query; returns the StreamingQuery.
+
+    Each micro-batch runs the same DataFrame admission logic as the batch
+    wave loop; url_seen grows by appending each batch's novel hashes. The
+    foreachBatch body is idempotent per epoch_id (overwrite-by-epoch dirs),
+    giving exactly-once admitted output under retries.
+    """
+    stream = (
+        spark.readStream.schema(DISCOVERED_SCHEMA).parquet(input_dir)
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        ident = with_url_identity(batch).dropDuplicates(["url_hash"])
+        try:
+            seen = sp.read.parquet(url_seen_dir).select("url_hash")
+            new = ident.join(seen, "url_hash", "left_anti")
+        except Exception:  # first batch: no url_seen yet
+            new = ident
+        # materialize the admitted output BEFORE touching url_seen: the
+        # anti-join reads url_seen lazily, so appending first would make the
+        # batch's own hashes disappear from its admitted output
+        epoch_dir = os.path.join(admitted_dir, f"epoch={epoch_id}")
+        new.write.mode("overwrite").parquet(epoch_dir)
+        sp.read.parquet(epoch_dir).select("url_hash").write.mode("append").parquet(
+            url_seen_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def host_rate_metrics(discovered: DataFrame) -> DataFrame:
+    """Watermarked per-host tumbling-window discovery counts.
+
+    Works on a streaming DataFrame (readStream) — 10-minute watermark
+    tolerates late link discoveries; output mode append emits finalized
+    windows only.
+    """
+    ident = with_url_identity(discovered)
+    return (
+        ident.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.approx_count_distinct("url_hash").alias("n_unique"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "host", "n_urls", "n_unique",
+        )
+    )

@@ -1,0 +1,91 @@
+"""Streaming admission + windowed metrics (Structured Streaming wrappers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from review_crawler_spark.streaming.stream import admit_stream, host_rate_metrics
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts timestamp, priority long, depth int, seq long"
+    )
+
+
+def test_admit_stream_dedups_across_batches(spark, tmp_path):
+    inp = tmp_path / "in"
+    seen = tmp_path / "seen"
+    admitted = tmp_path / "admitted"
+    ckpt = tmp_path / "ckpt"
+    inp.mkdir()
+
+    # batch 1: three urls (one duplicated modulo canonicalization)
+    _batch(
+        spark,
+        [
+            ("https://a.com/x", T0, 5, 1, 1),
+            ("HTTPS://A.com/x#frag", T0, 5, 1, 2),
+            ("https://b.com/y", T0, 3, 1, 3),
+        ],
+    ).write.mode("overwrite").parquet(str(inp / "b1"))
+    q = admit_stream(spark, str(inp) + "/*", str(seen), str(admitted), str(ckpt))
+    q.awaitTermination(120)
+
+    out1 = spark.read.parquet(str(admitted) + "/epoch=*")
+    urls1 = {r["canonical_url"] for r in out1.collect()}
+    assert urls1 == {"https://a.com/x", "https://b.com/y"}
+
+    # batch 2: one repeat (must be dropped vs url_seen), one new
+    _batch(
+        spark,
+        [
+            ("https://a.com/x", T0, 5, 1, 4),
+            ("https://c.com/z", T0, 9, 1, 5),
+        ],
+    ).write.mode("overwrite").parquet(str(inp / "b2"))
+    q2 = admit_stream(spark, str(inp) + "/*", str(seen), str(admitted), str(ckpt))
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(str(admitted) + "/epoch=*")
+    urls = {r["canonical_url"] for r in out.collect()}
+    assert urls == {"https://a.com/x", "https://b.com/y", "https://c.com/z"}
+    assert out.count() == 3  # the repeat was deduped, not re-admitted
+
+
+def test_host_rate_metrics_stream(spark, tmp_path):
+    inp = tmp_path / "in2"
+    inp.mkdir()
+    rows = [
+        (f"https://h{i % 2}.com/p{i}", T0 + dt.timedelta(minutes=i), 1, 1, i)
+        for i in range(10)
+    ]
+    _batch(spark, rows).write.mode("overwrite").parquet(str(inp / "b1"))
+
+    stream = spark.readStream.schema(
+        "url string, ts timestamp, priority long, depth int, seq long"
+    ).parquet(str(inp) + "/*")
+    agg = host_rate_metrics(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rates").collect()
+    # append mode emits only watermark-finalized windows; with a 10-row
+    # bounded input the final windows stay open — accept either, but the
+    # query itself must run and the schema must hold
+    assert {c for c in spark.sql("SELECT * FROM rates").columns} == {
+        "win_start", "host", "n_urls", "n_unique"
+    }
+    # complete-mode cross-check for the same aggregation semantics
+    static = host_rate_metrics(spark.read.parquet(str(inp) + "/b1"))
+    rows = {(r["host"], r["n_urls"]) for r in static.collect()}
+    assert sum(n for _, n in rows) == 10
