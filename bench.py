@@ -60,10 +60,12 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
     frontier = synthetic_frontier(spark, n)
 
     t0 = time.time()
-    ident = with_url_identity(frontier)
+    # raw url dropped after identity: downstream keys on the 8-byte hash and
+    # canonical string only — halves the dedup shuffle width
+    ident = with_url_identity(frontier).drop("url")
     best = ident.groupBy("url_hash").agg(
         F.min_by(
-            F.struct("url", "canonical_url", "host", "priority", "depth", "seq"),
+            F.struct("canonical_url", "host", "priority", "depth", "seq"),
             F.struct((-F.col("priority")).alias("np"), F.col("seq")),
         ).alias("r")
     ).select("url_hash", "r.*")

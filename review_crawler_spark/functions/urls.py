@@ -54,10 +54,14 @@ def canonicalize_one(url: str) -> str:
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    port = parts.port
-    netloc = host
-    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
-        netloc = f"{host}:{port}"
+    try:
+        port = parts.port
+    except ValueError:  # non-numeric port garbage — keep it verbatim
+        netloc = parts.netloc.lower()
+    else:
+        netloc = host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+            netloc = f"{host}:{port}"
     path = quote(unquote(parts.path), safe=_SAFE_PATH)
     # resolve dot-segments
     if "." in path:
@@ -103,18 +107,38 @@ _FAST_CANONICAL = (
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """U2 batch canonicalize — Arrow batch in, Arrow batch out.
 
-    Vectorized fast path: one regex over the whole batch identifies URLs
-    that are already in canonical form (the common case in steady-state
-    crawls) and passes them through; only the messy remainder pays the
-    per-URL urllib cost.
+    Three tiers, each vectorized over the whole batch:
+    1. already-canonical URLs (regex gate) pass through untouched;
+    2. URLs that become canonical after two cheap vectorized repairs —
+       ``#review_report`` → ``/review_report`` (the reference's 404 repair,
+       before generic fragment handling), fragment strip, scheme+host
+       lowercase — are re-gated by the same regex; passing the gate proves
+       the repaired form is a fixed point, and canonicalize_one is invariant
+       under exactly these repairs, so the result is identical;
+    3. only the remainder (queries, ports, %-escapes, dot-segments, missing
+       scheme) pays the per-URL urllib cost.
     """
     fast = urls.str.match(_FAST_CANONICAL, na=False)
     out = urls.copy()
-    slow = ~fast
-    if slow.any():
-        out[slow] = urls[slow].map(
-            lambda u: canonicalize_one(u) if u is not None else None
+    rest = ~fast
+    if rest.any():
+        repaired = (
+            urls[rest]
+            .str.replace("#review_report", "/review_report", regex=False)
+            .str.replace(r"#.*$", "", regex=True)
         )
+        parts = repaired.str.extract(
+            r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)(.*)$", expand=True
+        )
+        lowered = parts[0].str.lower() + parts[1].fillna("")
+        repaired = lowered.where(parts[0].notna(), repaired)
+        mid = repaired.str.match(_FAST_CANONICAL, na=False)
+        out[repaired[mid].index] = repaired[mid]
+        slow = repaired[~mid].index
+        if len(slow):
+            out[slow] = urls[slow].map(
+                lambda u: canonicalize_one(u) if u is not None else None
+            )
     return out
 
 

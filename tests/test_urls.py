@@ -70,6 +70,39 @@ def test_fast_path_is_fixed_point():
     assert checked > 100  # the fast path actually triggers
 
 
+def test_udf_tiers_match_reference():
+    """The 3-tier batch canonicalizer (fast regex / vectorized repairs /
+    urllib slow path) must agree with canonicalize_one on every input,
+    including garbage ports, userinfo, stacked fragments, and None."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from review_crawler_spark.functions import urls as U
+
+    fn = U.canonicalize_udf.func
+    rng = random.Random(3)
+    chars = string.ascii_letters + string.digits + "/.-_~:@!$&'()*+,;=%?#"
+    urls = []
+    for _ in range(5000):
+        scheme = rng.choice(["https://", "http://", "HTTPS://", "", "//"])
+        host = "".join(rng.choice("abcABC09.-") for _ in range(rng.randrange(1, 10)))
+        tail = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 30)))
+        urls.append(scheme + host + tail)
+    urls += [
+        "https://www.mdpi.com/2673-4087/2/3/21#review_report",
+        "HTTPS://A.com:443/x/../y?b=2&a=1#frag",
+        "https://user@a.com/x",
+        "https://a.com:bogus/x",
+        None,
+    ]
+    got = fn(pd.Series(urls, dtype=object))
+    for u, g in zip(urls, got):
+        expect = canonicalize_one(u) if u is not None else None
+        assert g == expect, (u, g, expect)
+
+
 def test_idempotent():
     urls = [
         "HTTPS://A.com:443/x/../y?b=2&a=1#frag",
