@@ -85,6 +85,55 @@ def build_shards(
     )
 
 
+def dedup_and_probe(
+    candidates: DataFrame,
+    shards: DataFrame,
+    num_shards: int,
+    shard_bits: int = SHARD_BITS_DEFAULT,
+    hash_col: str = "url_hash",
+    priority_col: str = "priority",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Fused in-batch dedup + bloom probe in ONE shuffle.
+
+    Because the shard id is a pure function of the hash, per-hash dedup is
+    shard-local: the same cogrouped task that probes the bloom bits first
+    drops duplicate hashes (keeping the (priority DESC, seq ASC) winner —
+    the admission contract). This replaces a groupBy(min_by) shuffle plus a
+    probe shuffle with a single exchange of the candidate set — at 10^10
+    rows that is the difference between 2× and 1× frontier-sized shuffles
+    per wave.
+    """
+    left = candidates.withColumn("shard_id", shard_of(F.col(hash_col), num_shards))
+
+    def do(key, cand: pd.DataFrame, bits_rows: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.drop(columns=["shard_id"]).assign(
+                maybe_seen=pd.Series([], dtype=bool)
+            )
+        cand = cand.sort_values(
+            [priority_col, seq_col], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates(subset=[hash_col], keep="first")
+        if len(bits_rows) == 0:
+            maybe = np.zeros(len(cand), dtype=bool)
+        else:
+            bits = np.frombuffer(bits_rows["bits"].iloc[0], dtype=np.uint8)
+            pos = _positions(cand[hash_col].to_numpy(np.int64), shard_bits)
+            maybe = _test_bits(bits, pos)
+        out = cand.drop(columns=["shard_id"]).copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+    return (
+        left.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(do, schema=out_schema)
+    )
+
+
 def probe(
     candidates: DataFrame,
     shards: DataFrame,

@@ -281,18 +281,20 @@ class CrawlEngine:
         ident = with_url_identity(links)
         allowed = filter_allowed(ident, self.disallow)
 
-        # in-batch dedup: same URL discovered by several parents this wave —
-        # keep (priority DESC, seq ASC) winner, matching simulator semantics
-        best = allowed.groupBy("url_hash").agg(
-            F.min_by(
-                F.struct("url", "canonical_url", "host", "priority", "depth", "seq"),
-                F.struct((-F.col("priority")).alias("np"), F.col("seq")),
-            ).alias("r")
-        ).select("url_hash", "r.*")
-
         if self.use_bloom:
+            # fused in-batch dedup + bloom probe: ONE shard-keyed shuffle
+            # keeps the (priority DESC, seq ASC) winner per url_hash —
+            # identical to the simulator's admission contract — and tests
+            # the shard's bloom bits in the same task (C3 two-phase dedup)
             shards = bloom.build_shards(self.url_seen, self.num_bloom_shards)
-            probed = bloom.probe(best, shards, self.num_bloom_shards)
+            probed = bloom.dedup_and_probe(
+                allowed.select(
+                    "url", "canonical_url", "url_hash", "host",
+                    "priority", "depth", "seq",
+                ),
+                shards,
+                self.num_bloom_shards,
+            )
             fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
             confirmed_new = suspect.join(
@@ -300,6 +302,12 @@ class CrawlEngine:
             )
             new = fresh.unionByName(confirmed_new)
         else:
+            best = allowed.groupBy("url_hash").agg(
+                F.min_by(
+                    F.struct("url", "canonical_url", "host", "priority", "depth", "seq"),
+                    F.struct((-F.col("priority")).alias("np"), F.col("seq")),
+                ).alias("r")
+            ).select("url_hash", "r.*")
             new = best.join(
                 self.url_seen.select("url_hash"), "url_hash", "left_anti"
             )

@@ -1,0 +1,105 @@
+"""Sources/sinks round trips + MERGE upsert + zip scan + version pick."""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql import functions as F
+
+from review_crawler_spark.operators.version_pick import latest_versions
+from review_crawler_spark.sources.jats import make_jats_xml
+from review_crawler_spark.sources.sinks import (
+    merge_upsert,
+    read_csv_frontier,
+    read_json_records,
+    write_csv_frontier,
+    write_json_records,
+    zip_corpus_scan,
+)
+
+
+def test_zip_corpus_scan(spark, tmp_path):
+    zp = tmp_path / "corpus.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for a in range(30):
+            zf.writestr(f"articles/synth-{a}-v1.xml", make_jats_xml(a))
+        zf.writestr("README.txt", b"not an article")
+
+    df = zip_corpus_scan(spark, str(zp))
+    assert df.count() == 31
+
+    # name pre-filter pushed before payload read (plos_crawler.py:248-253)
+    xml_only = zip_corpus_scan(spark, str(zp), name_filter=r"\.xml$")
+    rows = xml_only.collect()
+    assert len(rows) == 30
+    assert all(bytes(r["bytes"]).startswith(b"<?xml") for r in rows[:3])
+
+
+def test_version_pick_invariants(spark):
+    """Port of test_elife_crawler.py:27-34: unique article ids, all .xml,
+    newest version wins."""
+    paths = [
+        ("corpus/elife-00001-v1.xml",),
+        ("corpus/elife-00001-v3.xml",),
+        ("corpus/elife-00001-v2.xml",),
+        ("corpus/elife-00002-v1.xml",),
+        ("corpus/elife-00003-v2.xml",),
+        ("corpus/elife-00003-v10.xml",),
+        ("corpus/notes.txt",),           # dropped: wrong shape
+        ("corpus/elife-9-draft.xml",),   # dropped: no -vN
+    ]
+    files = spark.createDataFrame(paths, "path string")
+    out = latest_versions(files).collect()
+    got = {r["article_id"]: r["version"] for r in out}
+    assert got == {"00001": 3, "00002": 1, "00003": 10}
+    assert all(r["path"].endswith(".xml") for r in out)
+    assert len({r["article_id"] for r in out}) == len(out)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from review_crawler_spark.functions.parse import parse_jats_udf
+    from review_crawler_spark.sources.corpus import jats_corpus
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    parsed = parse_jats_udf(jats_corpus(ids)).drop("sub_articles", "parse_error")
+    out = str(tmp_path / "articles_json")
+    write_json_records(parsed, out)
+    back = read_json_records(spark, out, parsed.schema)
+    assert back.count() == 40
+    a = {r["doc_id"]: r["title"] for r in parsed.collect()}
+    b = {r["doc_id"]: r["title"] for r in back.collect()}
+    assert a == b
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.com/1", False), ("https://a.com/2", True)],
+        "url string, skip boolean",
+    )
+    out = str(tmp_path / "urls_csv")
+    write_csv_frontier(df, out)
+    back = read_csv_frontier(spark, out, "url string, skip boolean")
+    # F6 skip-list filter (mdpi_review_spider.py:53-55)
+    kept = back.filter(~F.col("skip")).collect()
+    assert [r["url"] for r in kept] == ["https://a.com/1"]
+
+
+def test_merge_upsert(spark, tmp_path):
+    table = str(tmp_path / "articles")
+    v0 = spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2")], "doi long, title string"
+    )
+    cur = merge_upsert(spark, table, v0, "doi")
+    assert cur.count() == 2
+
+    updates = spark.createDataFrame(
+        [(2, "new-2"), (3, "new-3")], "doi long, title string"
+    )
+    cur = merge_upsert(spark, table, updates, "doi")
+    got = {r["doi"]: r["title"] for r in cur.collect()}
+    assert got == {1: "old-1", 2: "new-2", 3: "new-3"}
+
+    # idempotent re-apply
+    cur = merge_upsert(spark, table, updates, "doi")
+    got = {r["doi"]: r["title"] for r in cur.collect()}
+    assert got == {1: "old-1", 2: "new-2", 3: "new-3"}
