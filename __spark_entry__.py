@@ -983,6 +983,103 @@ FROM documents
 
 
 
+def _q_a2_a3_stats(spark, sf_dir):
+    """A2 sum-of-booleans + A3 mean (file_management cells 7,10)."""
+    d = load(spark, sf_dir, "documents")
+    long_doc = (F.col("n_chars") > 200).cast("int")
+    return d.groupBy("lang").agg(
+        F.sum(long_doc).alias("n_long"),
+        F.floor(
+            F.sum(F.col("n_chars").cast("decimal(38,6)")) * 10000 / F.count("*")
+        ).cast("long").alias("mean_chars_e4"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_SQL_A2_A3 = """
+SELECT lang,
+       sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_long,
+       CAST(floor(sum(CAST(n_chars AS DECIMAL(38,6))) * 10000 / count(*)) AS BIGINT)
+         AS mean_chars_e4,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def _q_x10_x11_arrays(spark, sf_dir):
+    """X10 '; '.join + X11 split + X18 collect/transform over keyword-ish
+    arrays (rarticle.py:1120-1126, mdpi_spider.py:71-75)."""
+    d = load(spark, sf_dir, "documents")
+    words5 = F.slice(F.split(F.col("text"), " "), 1, 5)
+    joined = F.array_join(words5, "; ")
+    return d.select(
+        "doc_id",
+        joined.alias("kw_joined"),
+        F.size(F.split(joined, "; ")).alias("n_kw"),
+        F.array_join(F.transform(words5, lambda w: F.upper(w)), ",").alias("kw_upper"),
+    )
+
+
+_SQL_X10_X11 = """
+SELECT doc_id,
+       array_to_string(words5, '; ') AS kw_joined,
+       CAST(len(string_split(array_to_string(words5, '; '), '; ')) AS INT) AS n_kw,
+       array_to_string(list_transform(words5, w -> upper(w)), ',') AS kw_upper
+FROM (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS words5
+  FROM documents
+)
+"""
+
+
+def _q_x14_date_sanity(spark, sf_dir):
+    """X14 date-order sanity (received ≤ accepted ≤ epub analog:
+    rarticle.py:303-330): every lineitem ships on/after its order date."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderkey").agg(
+        F.min(
+            (F.col("l_shipdate").cast("date") >= F.col("o_orderdate").cast("date"))
+            .cast("int")
+        ).alias("dates_sane"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SQL_X14_SANITY = """
+SELECT o_orderkey,
+       min(CASE WHEN CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+                THEN 1 ELSE 0 END) AS dates_sane,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
+def _q_x22_tojson(spark, sf_dir):
+    """X22 JSON round trip: to_json(struct) then re-extract
+    (utils.py:130-132 dump/load cycle)."""
+    ev = load(spark, sf_dir, "events")
+    js = F.to_json(F.struct(F.col("event_type"), F.col("user_id")))
+    return ev.select(
+        "event_id",
+        js.alias("json"),
+        F.get_json_object(js, "$.user_id").cast("long").alias("user_back"),
+    )
+
+
+_SQL_X22_TOJSON = """
+SELECT event_id,
+       to_json(struct_pack(event_type := event_type, user_id := user_id)) AS json,
+       CAST(json_extract_string(
+         to_json(struct_pack(event_type := event_type, user_id := user_id)),
+         '$.user_id') AS BIGINT) AS user_back
+FROM events
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -1021,6 +1118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_scrub_whitespace": _q_x8_scrub,
         "j7_stage2_frontier": _q_j7_stage2_frontier,
         "f2_exists_reviews": _q_f2_exists,
+        "a2_a3_stats": _q_a2_a3_stats,
+        "x10_x11_arrays": _q_x10_x11_arrays,
+        "x14_date_sanity": _q_x14_date_sanity,
+        "x22_tojson_roundtrip": _q_x22_tojson,
     }
 
 
@@ -1059,6 +1160,10 @@ def oracle_sql() -> dict[str, str]:
         "x8_scrub_whitespace": _SQL_X8_SCRUB,
         "j7_stage2_frontier": _SQL_J7_STAGE2,
         "f2_exists_reviews": _SQL_F2_EXISTS,
+        "a2_a3_stats": _SQL_A2_A3,
+        "x10_x11_arrays": _SQL_X10_X11,
+        "x14_date_sanity": _SQL_X14_SANITY,
+        "x22_tojson_roundtrip": _SQL_X22_TOJSON,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
         # rows-only driver check; properties covered in tests/.
     }
