@@ -27,6 +27,19 @@ SCALING_N = int(os.environ.get("BENCH_SCALING_N", "10000000"))
 SEEN_FRACTION = 0.25
 
 
+def _container_cpu_sec() -> float | None:
+    """Container-wide CPU seconds (cgroup cpuacct) — includes the JVM and
+    every python worker, immune to external host load. Used to show CPU-work
+    parity between parallelism levels when wall clocks are noisy."""
+    for p in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",):
+        try:
+            with open(p) as f:
+                return int(f.read().strip()) / 1e9
+        except OSError:
+            return None
+    return None
+
+
 def build_session(cpus: int):
     from review_crawler_spark.session import get_spark
 
@@ -148,11 +161,16 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--child") + 1])
         spark = build_session(cpus)
         spark.range(1).count()
-        times = []
+        times, cpus_used = [], []
         for _ in range(2):
+            c0 = _container_cpu_sec()
             dt, n_out = bench_frontier_pipeline(spark, SCALING_N)
+            c1 = _container_cpu_sec()
             times.append(dt)
+            if c0 is not None and c1 is not None:
+                cpus_used.append(round(c1 - c0, 1))
         res = {"cpus": cpus, "sec": round(min(times), 3), "runs": [round(t, 3) for t in times],
+               "cpu_sec": (min(cpus_used) if cpus_used else None),
                "scheduled_out": n_out}
         print("CHILD_RESULT " + json.dumps(res))
         return
@@ -192,6 +210,11 @@ def main() -> None:
             prev = state["best"].get(key)
             if prev is None or results[cpus]["sec"] < prev:
                 state["best"][key] = results[cpus]["sec"]
+            cpu = results[cpus].get("cpu_sec")
+            if cpu is not None:
+                prev_cpu = state.setdefault("best_cpu", {}).get(key)
+                if prev_cpu is None or cpu < prev_cpu:
+                    state["best_cpu"][key] = cpu
         with open(state_path, "w") as f:
             json.dump(state, f, indent=2)
         t8 = state["best"][str(lo)]

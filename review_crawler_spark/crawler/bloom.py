@@ -85,6 +85,44 @@ def build_shards(
     )
 
 
+def update_shards(
+    shards: DataFrame,
+    delta: DataFrame,
+    num_shards: int,
+    shard_bits: int = SHARD_BITS_DEFAULT,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Incrementally OR a wave's new hashes into the existing shards.
+
+    Cost is O(delta + P·bits) per wave — never a rebuild over the full
+    url_seen history (at 10^10 keys a rebuild per wave would dwarf the
+    crawl itself). Cogrouped by shard id; shards untouched by the delta
+    pass through unchanged.
+    """
+    hashed = delta.select(
+        F.col(hash_col), shard_of(F.col(hash_col), num_shards).alias("shard_id")
+    )
+
+    def merge(key, bits_rows: pd.DataFrame, hash_rows: pd.DataFrame) -> pd.DataFrame:
+        if len(bits_rows):
+            bits = np.frombuffer(bits_rows["bits"].iloc[0], dtype=np.uint8).copy()
+            sid = int(bits_rows["shard_id"].iloc[0])
+        else:
+            bits = np.zeros(shard_bits >> 3, dtype=np.uint8)
+            sid = int(hash_rows["shard_id"].iloc[0])
+        if len(hash_rows):
+            _set_bits(
+                bits, _positions(hash_rows[hash_col].to_numpy(np.int64), shard_bits)
+            )
+        return pd.DataFrame({"shard_id": [sid], "bits": [bits.tobytes()]})
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(hashed.groupBy("shard_id"))
+        .applyInPandas(merge, schema="shard_id int, bits binary")
+    )
+
+
 def dedup_and_probe(
     candidates: DataFrame,
     shards: DataFrame,

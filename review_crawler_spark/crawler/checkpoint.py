@@ -50,6 +50,33 @@ class SnapshotStore:
         tmp.write_text(json.dumps(manifest, indent=2))
         os.rename(tmp, final)  # atomic on POSIX — the commit point
 
+    # ----------------------------------------------------------- deltas
+    def append_delta(self, name: str, wave: int, df: DataFrame) -> str:
+        """Write a per-wave DELTA partition: <base>/<name>/w=<wave>/….
+
+        Append-only growth for monotone tables (url_seen): each wave writes
+        only its new rows — O(new) I/O, never an O(total) rewrite (at 10^10
+        seen URLs a full rewrite per wave would dominate the crawl). The
+        ``w=`` directory doubles as a partition column, so reads prune
+        uncommitted waves for free.
+        """
+        path = self.base / name / f"w={wave}"
+        df.write.mode("overwrite").parquet(str(path))
+        return str(path)
+
+    def read_deltas(self, spark: SparkSession, name: str, up_to_wave: int) -> DataFrame:
+        """Union of all committed deltas (partition-pruned to w ≤ wave).
+
+        A crash between delta write and manifest publish leaves an orphan
+        ``w=N+1`` dir; the filter excludes it, so resume sees exactly the
+        committed prefix.
+        """
+        base = self.base / name
+        df = spark.read.option("basePath", str(base)).parquet(str(base))
+        from pyspark.sql import functions as F
+
+        return df.filter(F.col("w") <= up_to_wave).drop("w")
+
     # ----------------------------------------------------------- resume
     def latest_wave(self) -> int | None:
         waves = [

@@ -89,6 +89,7 @@ class CrawlEngine:
         )
         self.frontier: DataFrame | None = None
         self.url_seen: DataFrame | None = None
+        self.bloom_shards: DataFrame | None = None
         self.next_wave = 0
         self.stats: list[WaveStats] = []
 
@@ -106,12 +107,17 @@ class CrawlEngine:
             F.col("seq").cast("long"),
             F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
         )
-        self.url_seen = self.frontier.select(
+        seed_seen = self.frontier.select(
             "url_hash", "canonical_url", F.lit(0).alias("first_wave"),
             bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
                 "partition_id"
             ),
         )
+        # url_seen grows append-only: one delta partition per wave
+        # (O(new) I/O per wave — never an O(total) rewrite)
+        self.store.append_delta("url_seen", 0, seed_seen)
+        self.url_seen = self.store.read_deltas(self.spark, "url_seen", 0)
+        self.bloom_shards = bloom.build_shards(self.url_seen, self.num_bloom_shards)
         self.next_wave = 0
 
     # ------------------------------------------------------------- resume
@@ -121,7 +127,8 @@ class CrawlEngine:
         if last is None:
             return False
         self.frontier = self.store.read(self.spark, last, "frontier")
-        self.url_seen = self.store.read(self.spark, last, "url_seen")
+        self.url_seen = self.store.read_deltas(self.spark, "url_seen", last + 1)
+        self.bloom_shards = self.store.read(self.spark, last, "bloom_shards")
         self.next_wave = last + 1
         return True
 
@@ -223,14 +230,19 @@ class CrawlEngine:
                 admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
         )
-        url_seen_next = self.url_seen.unionByName(
-            admitted.select(
-                "url_hash", "canonical_url",
-                F.lit(wave + 1).alias("first_wave"),
-                bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
-                    "partition_id"
-                ),
-            )
+        seen_delta = admitted.select(
+            "url_hash", "canonical_url",
+            F.lit(wave + 1).alias("first_wave"),
+            bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
+                "partition_id"
+            ),
+        )
+        self.store.append_delta("url_seen", wave + 1, seen_delta)
+        delta_back = self.store.read_deltas(
+            self.spark, "url_seen", wave + 1
+        ).filter(F.col("first_wave") == wave + 1)
+        shards_next = bloom.update_shards(
+            self.bloom_shards, delta_back, self.num_bloom_shards
         )
 
         metrics = (
@@ -253,7 +265,7 @@ class CrawlEngine:
             wave,
             {
                 "frontier": frontier_next,
-                "url_seen": url_seen_next,
+                "bloom_shards": shards_next,
                 "fetched": fetched,
                 "metrics": metrics,
             },
@@ -264,7 +276,8 @@ class CrawlEngine:
 
         # lineage barrier: read back what we just committed
         self.frontier = self.store.read(self.spark, wave, "frontier")
-        self.url_seen = self.store.read(self.spark, wave, "url_seen")
+        self.url_seen = self.store.read_deltas(self.spark, "url_seen", wave + 1)
+        self.bloom_shards = self.store.read(self.spark, wave, "bloom_shards")
         self.next_wave = wave + 1
         stats = WaveStats(
             wave, n_sched, n_fetched, n_new, n_err,
@@ -286,7 +299,7 @@ class CrawlEngine:
             # keeps the (priority DESC, seq ASC) winner per url_hash —
             # identical to the simulator's admission contract — and tests
             # the shard's bloom bits in the same task (C3 two-phase dedup)
-            shards = bloom.build_shards(self.url_seen, self.num_bloom_shards)
+            shards = self.bloom_shards
             probed = bloom.dedup_and_probe(
                 allowed.select(
                     "url", "canonical_url", "url_hash", "host",
