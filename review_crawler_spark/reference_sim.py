@@ -41,14 +41,16 @@ class SimResult:
     waves: int
 
 
-def robots_allows(host: str, url: str) -> bool:
-    prefixes, _ = ROBOTS_RULES.get(host, ((), None))
+def robots_allows(host: str, url: str, rules=None) -> bool:
+    rules = ROBOTS_RULES if rules is None else rules
+    prefixes, _ = rules.get(host, ((), None))
     path = url.split(host, 1)[-1]
     return not any(path.startswith(p) for p in prefixes)
 
 
-def host_budget(host: str, default: int = DEFAULT_BUDGET) -> int:
-    _, delay_budget = ROBOTS_RULES.get(host, ((), None))
+def host_budget(host: str, default: int = DEFAULT_BUDGET, rules=None) -> int:
+    rules = ROBOTS_RULES if rules is None else rules
+    _, delay_budget = rules.get(host, ((), None))
     return delay_budget if delay_budget is not None else default
 
 
@@ -57,8 +59,10 @@ def simulate(
     hosts=DEFAULT_HOSTS,
     budget: int = DEFAULT_BUDGET,
     max_waves: int = 1000,
+    rules: dict | None = None,
 ) -> SimResult:
     site = site if site is not None else build_site(hosts)
+    rules = ROBOTS_RULES if rules is None else rules
     frontier: list[dict] = []
     url_seen: set[str] = set()
     fetch_rows: list[tuple[int, str, str, int, int]] = []
@@ -83,7 +87,7 @@ def simulate(
             by_host.setdefault(e["host"], []).append(e)
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (-e["priority"], e["seq"]))
-            scheduled.extend(entries[: host_budget(host, budget)])
+            scheduled.extend(entries[: host_budget(host, budget, rules)])
 
         fetched: list[tuple[dict, Page]] = []
         errors = 0
@@ -112,7 +116,7 @@ def simulate(
             for link_url, link_idx, pri in page.out_links:
                 cu = canonicalize_one(link_url)
                 host = cu.split("/")[2]
-                if not robots_allows(host, cu):
+                if not robots_allows(host, cu, rules):
                     continue
                 if cu in url_seen:
                     deduped += 1
@@ -141,7 +145,7 @@ def simulate(
         for host, entries in by_host.items():
             metrics.append(
                 dict(wave=wave, host=host,
-                     urls_scheduled=min(len(entries), host_budget(host, budget)),
+                     urls_scheduled=min(len(entries), host_budget(host, budget, rules)),
                      urls_fetched=per_host_fetched.get(host, 0),
                      urls_deduped=deduped, errors=errors)
             )
