@@ -1080,6 +1080,50 @@ FROM events
 
 
 
+def _q_review_rounds(spark, sf_dir):
+    """U4b review-report page parse (mdpi_review_spider.py:101-197): rounds,
+    reviewer names, author responses, supplementary links — exploded."""
+    from review_crawler_spark.functions.parse import parse_review_html_udf
+    from review_crawler_spark.sources.corpus import review_html_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    parsed = parse_review_html_udf(review_html_corpus(ids))
+    ex = parsed.select("doc_id", F.explode("rounds").alias("r"))
+    return ex.select(
+        "doc_id",
+        F.col("r.round").alias("round"),
+        F.size("r.reviewers").alias("n_reviewers"),
+        F.array_join("r.reviewers", "|").alias("reviewer_names"),
+        F.col("r.has_author_response").alias("has_author_response"),
+        F.size("r.supp_urls").alias("n_supp"),
+    )
+
+
+_SQL_REVIEW_ROUNDS = """
+WITH reviewed AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_rounds
+  FROM documents WHERE doc_id % 3 = 0
+), rounds AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, n_rounds)) AS INT) AS round
+  FROM reviewed
+)
+SELECT doc_id, round,
+  CAST(1 + (doc_id + round) % 2 AS INT) AS n_reviewers,
+  array_to_string(
+    list_transform(generate_series(1, CAST(1 + (doc_id + round) % 2 AS INT)),
+      n -> CASE WHEN (doc_id + n) % 2 = 1 THEN 'Anonymous'
+                ELSE 'Reviewer' || CAST(doc_id AS VARCHAR) || '_'
+                     || CAST(round AS VARCHAR) || '_' || CAST(n AS VARCHAR) END),
+    '|') AS reviewer_names,
+  TRUE AS has_author_response,
+  CAST(CASE WHEN (doc_id + round) % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_supp
+FROM rounds
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -1122,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_x11_arrays": _q_x10_x11_arrays,
         "x14_date_sanity": _q_x14_date_sanity,
         "x22_tojson_roundtrip": _q_x22_tojson,
+        "review_rounds_extract": _q_review_rounds,
     }
 
 
@@ -1164,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "x10_x11_arrays": _SQL_X10_X11,
         "x14_date_sanity": _SQL_X14_SANITY,
         "x22_tojson_roundtrip": _SQL_X22_TOJSON,
+        "review_rounds_extract": _SQL_REVIEW_ROUNDS,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
         # rows-only driver check; properties covered in tests/.
     }

@@ -210,6 +210,62 @@ def parse_html_meta(html: str) -> dict:
     }
 
 
+REVIEW_OUT_SCHEMA = (
+    "doc_id bigint, rounds array<struct<round:int, "
+    "reviewers:array<string>, has_author_response:boolean, "
+    "supp_urls:array<string>>>, n_rounds int, parse_error string"
+)
+
+_ROUND_RX = re.compile(r'<h2 class="round">Round (\d+)</h2>')
+_REVIEWER_RX = re.compile(r'<span class="reviewer">Reviewer \d+: ([^<]*)</span>')
+_AUTHOR_RX = re.compile(r'<div class="author-response">')
+_SUPP_RX = re.compile(r'<a class="supp" href="([^"]+)"')
+
+
+def parse_review_html(html: str) -> dict:
+    """Review-report page → rounds with reviewers / responses / supp links.
+
+    Round boundaries split the document; every extracted element belongs to
+    the preceding Round header (document order), mirroring the reference's
+    section walk (mdpi_review_spider.py:101-197)."""
+    rounds = []
+    matches = list(_ROUND_RX.finditer(html))
+    for i, m in enumerate(matches):
+        start = m.end()
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(html)
+        chunk = html[start:end]
+        rounds.append(
+            {
+                "round": int(m.group(1)),
+                "reviewers": [unescape(x) for x in _REVIEWER_RX.findall(chunk)],
+                "has_author_response": _AUTHOR_RX.search(chunk) is not None,
+                "supp_urls": _SUPP_RX.findall(chunk),
+            }
+        )
+    return {"rounds": rounds, "n_rounds": len(rounds)}
+
+
+def parse_review_html_udf(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """U4b: review-report pages → per-round structs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, html in zip(pdf[id_col], pdf[html_col]):
+                row = {"doc_id": doc_id, "rounds": None, "n_rounds": None,
+                       "parse_error": None}
+                try:
+                    row.update(parse_review_html(html))
+                except Exception as exc:  # noqa: BLE001
+                    row["parse_error"] = str(exc)[:200]
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(batches, schema=REVIEW_OUT_SCHEMA)
+
+
 def parse_html_udf(pages: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
     """U4: pages(doc_id, html string) → extracted metadata columns."""
 

@@ -187,6 +187,33 @@ def make_jats_xml(article_id: int) -> bytes:
     return xml.encode("utf-8")
 
 
+def round_has_supp(article_id: int, rnd: int) -> bool:
+    return (article_id + rnd) % 2 == 0
+
+
+def make_review_html(article_id: int) -> str:
+    """Review-report page: rounds, per-round reviewer list, author response,
+    supplementary-material links (what parse_reviews extracts,
+    /root/reference/crawling/crawling/spiders/mdpi_review_spider.py:101-197)."""
+    a = article_id
+    parts = ["<html><body><h1>Peer review report</h1>"]
+    for rnd in range(1, n_rounds_of(a) + 1):
+        parts.append(f'<h2 class="round">Round {rnd}</h2>')
+        for n in range(1, n_reviewers_of(a, rnd) + 1):
+            parts.append(
+                f'<div class="review"><span class="reviewer">'
+                f"Reviewer {n}: {escape(reviewer_name_of(a, rnd, n))}</span></div>"
+            )
+        parts.append('<div class="author-response">Author response</div>')
+        if round_has_supp(a, rnd):
+            parts.append(
+                f'<a class="supp" href="https://www.mdpi.com/synth/{a}/supp/'
+                f'round{rnd}-materials.zip">Supplementary material</a>'
+            )
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 # ------------------------------------------------------------- HTML writer
 
 def make_mdpi_html(article_id: int) -> str:

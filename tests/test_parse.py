@@ -135,3 +135,27 @@ def test_html_udf(spark):
     assert rows[0]["parse_error"] is None
     n_rev = sum(1 for r in rows.values() if r["has_reviews"])
     assert n_rev == sum(1 for a in range(60) if G.has_reviews_of(a))
+
+
+def test_review_html_roundtrip():
+    from review_crawler_spark.functions.parse import parse_review_html
+
+    for a in (3, 9, 12, 21, 30):
+        got = parse_review_html(G.make_review_html(a))
+        assert got["n_rounds"] == G.n_rounds_of(a)
+        for r in got["rounds"]:
+            rnd = r["round"]
+            assert len(r["reviewers"]) == G.n_reviewers_of(a, rnd)
+            assert r["reviewers"] == [
+                G.reviewer_name_of(a, rnd, n)
+                for n in range(1, G.n_reviewers_of(a, rnd) + 1)
+            ]
+            assert r["has_author_response"]
+            assert len(r["supp_urls"]) == (1 if G.round_has_supp(a, rnd) else 0)
+
+
+def test_review_html_no_rounds_for_unreviewed():
+    from review_crawler_spark.functions.parse import parse_review_html
+
+    got = parse_review_html(G.make_review_html(1))  # 1 % 3 != 0
+    assert got["n_rounds"] == 0 and got["rounds"] == []

@@ -1,6 +1,39 @@
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from review_crawler_spark.functions.urls import canonicalize_one
+
+URL_CHARS = st.text(
+    alphabet="abcXYZ019/.-_~:@!$&'()*+,;=%?#", min_size=0, max_size=40
+)
+
+
+@given(
+    scheme=st.sampled_from(["https://", "http://", "HTTPS://", "", "//"]),
+    host=st.text(alphabet="abC09.-", min_size=1, max_size=12),
+    tail=URL_CHARS,
+)
+@settings(max_examples=300, deadline=None)
+def test_property_idempotent_and_total(scheme, host, tail):
+    """canonicalize_one never raises and is idempotent on arbitrary junk."""
+    url = scheme + host + tail
+    c = canonicalize_one(url)
+    assert isinstance(c, str)
+    assert canonicalize_one(c) == c
+
+
+@given(
+    host=st.text(alphabet="ab09.-", min_size=1, max_size=10),
+    path=st.text(alphabet="abz09/._-", min_size=0, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_fragment_and_case_invariance(host, path):
+    """Canonical form is invariant to host case and (non-repair) fragments."""
+    base = f"https://{host}/{path}"
+    assert canonicalize_one(base.replace("https://", "HTTPS://")) == canonicalize_one(base)
+    assert canonicalize_one(base + "#section-2") == canonicalize_one(base)
 
 
 def test_scheme_host_lowercased():
