@@ -114,6 +114,45 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
     return dt, n_out
 
 
+def bench_engine_waves(
+    spark, pages=(4000, 1200, 1200), waves: int = 4, budget: int = 25000
+) -> tuple[float, int]:
+    """The REAL wave loop at scale: schedule (salted top-k) + fetch join +
+    discovery + fused admission + checkpoint commit, over a
+    column-expression-generated big site (~42k pages). Returns (sec,
+    scheduled+fetched URLs across the timed waves)."""
+    import tempfile
+
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.big_site import HOSTS, big_seeds, big_site_tables
+
+    key = "x".join(map(str, pages))
+    graph_path, links_path = f"/tmp/bench_site_{key}", f"/tmp/bench_links_{key}"
+    if not os.path.exists(graph_path + "/_SUCCESS"):
+        g, l = big_site_tables(spark, pages)
+        g.write.mode("overwrite").parquet(graph_path)
+        l.write.mode("overwrite").parquet(links_path)
+    graph = spark.read.parquet(graph_path).withColumnRenamed("page_url", "url")
+    links = spark.read.parquet(links_path)
+
+    rules = {h: (("/private",), None) for h in HOSTS}
+    eng = CrawlEngine(
+        spark, graph, links, SnapshotStore(tempfile.mkdtemp(prefix="bench_eng_")),
+        budget=budget, robots_rules=rules,
+        num_bloom_shards=max(16, spark.sparkContext.defaultParallelism),
+        num_salts=32,
+    )
+    eng.seed(big_seeds(pages))
+    t0 = time.time()
+    for _ in range(waves):
+        if eng.run_wave() is None:
+            break
+    dt = time.time() - t0
+    total = sum(s.scheduled + s.fetched for s in eng.stats)
+    return dt, total
+
+
 def bench_query(spark, name: str) -> float:
     import __spark_entry__ as entrymod
 
@@ -152,8 +191,12 @@ def run_bench(cpus: int) -> dict:
     }
     frontier_s, n_out = bench_frontier_pipeline(spark, FRONTIER_N)
     queries["frontier_pipeline"] = round(frontier_s, 3)
+    eng_s, eng_urls = bench_engine_waves(spark)
+    queries["engine_waves"] = round(eng_s, 3)
     urls_per_sec = FRONTIER_N / frontier_s
     return {
+        "engine_urls_per_sec": round(eng_urls / eng_s, 1),
+        "engine_urls": eng_urls,
         "metric": "frontier_urls_scheduled_fetched_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",

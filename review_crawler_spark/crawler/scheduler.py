@@ -173,10 +173,12 @@ class CrawlEngine:
         scheduled = self._schedule(queued).cache()
 
         # FETCH: left join against the synthetic web; missing page → 404.
+        # cached — both the fetched and failed branches read it, and the
+        # frontier commit re-reads both
         fetch = scheduled.join(
             self.site_graph, scheduled.canonical_url == self.site_graph.page_url,
             "left",
-        ).withColumn("fetch_status", F.coalesce(F.col("status"), F.lit(404)))
+        ).withColumn("fetch_status", F.coalesce(F.col("status"), F.lit(404))).cache()
 
         fetched = fetch.filter(F.col("fetch_status") == 200).select(
             scheduled.url, "canonical_url", "url_hash", "host", "priority",
@@ -203,7 +205,10 @@ class CrawlEngine:
             (F.col("seq") * SEQ_STRIDE + F.col("link_idx")).alias("seq"),
         )
 
-        admitted = self._admit(links, wave)
+        # cached: counted once, then written into both the frontier union
+        # and the url_seen delta — without the cache the fused probe +
+        # anti-join would re-execute three times per wave
+        admitted = self._admit(links, wave).cache()
 
         # in-wave bookkeeping (counts force the cached plans once)
         n_sched = scheduled.count()
@@ -272,7 +277,9 @@ class CrawlEngine:
             extra={"scheduled": n_sched, "fetched": n_fetched, "new": n_new},
         )
         scheduled.unpersist()
+        fetch.unpersist()
         fetched.unpersist()
+        admitted.unpersist()
 
         # lineage barrier: read back what we just committed
         self.frontier = self.store.read(self.spark, wave, "frontier")

@@ -67,6 +67,61 @@ def admit_stream(
     )
 
 
+def rate_limited_schedule(
+    discovered: DataFrame,
+    budget_per_batch: int = 8,
+    carryover_cap: int = 16,
+):
+    """Stateful per-host token-bucket scheduler over a stream
+    (applyInPandasWithState) — the streaming twin of the batch wave loop's
+    politeness budget (SURVEY.md §2.9 C4).
+
+    State per host: unspent token carryover (capped). Each micro-batch a
+    host may emit ``budget_per_batch + carryover`` URLs, highest
+    (priority DESC, seq ASC) first; unused tokens carry over up to the cap,
+    mirroring how Scrapy's per-domain slot drains bursts after quiet
+    periods. Rows beyond the budget are dropped from the stream (they stay
+    in the upstream frontier table in the batch engine; the stream variant
+    is for live feeds where re-discovery is the norm).
+
+    Returns (host, url, priority, granted_in_batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ident = with_url_identity(discovered)
+
+    def fn(key, pdfs, state):
+        host = key[0]
+        carry = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["priority", "seq"], ascending=[False, True])
+        allow = budget_per_batch + carry
+        granted = rows.head(allow)
+        new_carry = min(max(allow - len(rows), 0), carryover_cap)
+        state.update((int(new_carry),))
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url": granted["canonical_url"],
+                "priority": granted["priority"],
+                "granted_in_batch": len(granted),
+            }
+        )
+
+    return (
+        ident.groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="host string, url string, priority long, "
+            "granted_in_batch int",
+            stateStructType="carry int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def host_rate_metrics(discovered: DataFrame) -> DataFrame:
     """Watermarked per-host tumbling-window discovery counts.
 

@@ -89,3 +89,55 @@ def test_host_rate_metrics_stream(spark, tmp_path):
     static = host_rate_metrics(spark.read.parquet(str(inp) + "/b1"))
     rows = {(r["host"], r["n_urls"]) for r in static.collect()}
     assert sum(n for _, n in rows) == 10
+
+
+def test_rate_limited_schedule_stateful(spark, tmp_path):
+    """Token-bucket politeness across micro-batches: batch 1 exhausts the
+    budget; a sparse batch 2 accrues carryover; batch 3 may burst."""
+    from review_crawler_spark.streaming.stream import rate_limited_schedule
+
+    inp = tmp_path / "in3"
+    ckpt = tmp_path / "ckpt3"
+    inp.mkdir()
+
+    def write_batch(name, n_urls, host="h1.com"):
+        rows = [
+            (f"https://{host}/p{name}-{i}", T0, 100 - i, 1, i)
+            for i in range(n_urls)
+        ]
+        _batch(spark, rows).write.mode("overwrite").parquet(str(inp / name))
+
+    out_dir = tmp_path / "sched_out"
+    stream = spark.readStream.schema(
+        "url string, ts timestamp, priority long, depth int, seq long"
+    ).parquet(str(inp) + "/*")
+
+    def run_once():
+        q = (
+            rate_limited_schedule(stream, budget_per_batch=8, carryover_cap=16)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out_dir)).collect()
+
+    # batch 1: 20 urls, budget 8 → 8 granted, carry 0
+    write_batch("b1", 20)
+    rows = run_once()
+    assert len(rows) == 8
+    # highest priority first
+    assert sorted(r["priority"] for r in rows) == list(range(93, 101))
+
+    # batch 2: 3 urls → all granted, carry 5
+    write_batch("b2", 3)
+    rows = run_once()
+    assert len(rows) == 8 + 3
+
+    # batch 3: 20 urls → 8 + 5 carryover = 13 granted
+    write_batch("b3", 20)
+    rows = run_once()
+    assert len(rows) == 8 + 3 + 13
