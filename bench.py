@@ -142,6 +142,9 @@ def bench_engine_waves(
         budget=budget, robots_rules=rules,
         num_bloom_shards=max(16, spark.sparkContext.defaultParallelism),
         num_salts=32,
+        # page-0 fan-out emits n_pages+PAGE_COUNT+2 links on one page —
+        # the seq encoding stride must exceed that
+        seq_stride=1 << 14,
     )
     eng.seed(big_seeds(pages))
     t0 = time.time()
@@ -208,6 +211,40 @@ def run_bench(cpus: int) -> dict:
     }
 
 
+def _merge_into_state(results: dict) -> dict:
+    """Merge child results into the per-level best-time state file.
+
+    The sandbox host carries bursty external load (loadavg 8-25 with no
+    local processes) that can inflate either child arbitrarily; the
+    per-level minimum across all runs is the least-contended estimate.
+    Bests reset when the input size or benched pipeline changes.
+    """
+    state_path = os.path.join(os.path.dirname(__file__) or ".",
+                              "BENCH_SCALING_STATE.json")
+    state = {"best": {}, "history": [], "n": SCALING_N,
+             "pipeline": PIPELINE_VERSION}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    if state.get("n") != SCALING_N or state.get("pipeline") != PIPELINE_VERSION:
+        state = {"best": {}, "history": state.get("history", []),
+                 "n": SCALING_N, "pipeline": PIPELINE_VERSION}
+    for cpus, res in results.items():
+        state["history"].append({"cpus": cpus, "n": SCALING_N, **res})
+        key = str(cpus)
+        prev = state["best"].get(key)
+        if prev is None or res["sec"] < prev:
+            state["best"][key] = res["sec"]
+        cpu = res.get("cpu_sec")
+        if cpu is not None:
+            prev_cpu = state.setdefault("best_cpu", {}).get(key)
+            if prev_cpu is None or cpu < prev_cpu:
+                state["best_cpu"][key] = cpu
+    with open(state_path, "w") as f:
+        json.dump(state, f, indent=2)
+    return state
+
+
 def main() -> None:
     if "--child" in sys.argv:
         # scaling child: frontier pipeline only, min of 2 runs (the sandbox
@@ -227,6 +264,7 @@ def main() -> None:
                "cpu_sec": (min(cpus_used) if cpus_used else None),
                "scheduled_out": n_out}
         print("CHILD_RESULT " + json.dumps(res))
+        _merge_into_state({cpus: res})
         return
 
     if "--scaling" in sys.argv:
@@ -245,36 +283,12 @@ def main() -> None:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
                 raise SystemExit(f"child {cpus} failed")
         lo, hi = pair
-        # The sandbox host carries bursty external load (loadavg 8-25 with
-        # no local processes), which can inflate either child arbitrarily.
-        # Keep the best-observed (least-contended) time per parallelism
-        # across all scaling runs in a state file and report efficiency
-        # from those bests.
+        # children merged their own results into the state already; just
+        # reload it (re-merging here would double-count history)
         state_path = os.path.join(os.path.dirname(__file__) or ".",
                                   "BENCH_SCALING_STATE.json")
-        state = {"best": {}, "history": [], "n": SCALING_N}
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                state = json.load(f)
-        if state.get("n") != SCALING_N or state.get("pipeline") != PIPELINE_VERSION:
-            # different input size or benched code → bests not comparable
-            state = {"best": {}, "history": state.get("history", []),
-                     "n": SCALING_N, "pipeline": PIPELINE_VERSION}
-        for cpus in pair:
-            state["history"].append(
-                {"cpus": cpus, "n": SCALING_N, **results[cpus]}
-            )
-            key = str(cpus)
-            prev = state["best"].get(key)
-            if prev is None or results[cpus]["sec"] < prev:
-                state["best"][key] = results[cpus]["sec"]
-            cpu = results[cpus].get("cpu_sec")
-            if cpu is not None:
-                prev_cpu = state.setdefault("best_cpu", {}).get(key)
-                if prev_cpu is None or cpu < prev_cpu:
-                    state["best_cpu"][key] = cpu
-        with open(state_path, "w") as f:
-            json.dump(state, f, indent=2)
+        with open(state_path) as f:
+            state = json.load(f)
         t8 = state["best"][str(lo)]
         t32 = state["best"][str(hi)]
         thr8, thr32 = SCALING_N / t8, SCALING_N / t32

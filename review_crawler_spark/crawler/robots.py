@@ -38,7 +38,11 @@ def parse_robots_txt(text: str, default_budget: int, wave_seconds: float = 4.0) 
             prefixes.append(val)
         elif active and key == "crawl-delay":
             try:
-                budget = max(1, min(default_budget, int(wave_seconds / float(val))))
+                delay = float(val)
+                if delay > 0:
+                    budget = max(1, min(default_budget, int(wave_seconds / delay)))
+                else:
+                    budget = default_budget  # 'Crawl-delay: 0' = no throttle
             except ValueError:
                 pass
     return prefixes, budget

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import with_url_identity
-from ..schemas import FRONTIER_SCHEMA, URL_SEEN_SCHEMA
+from ..schemas import FRONTIER_SCHEMA
 from ..sources.sitegen import ROBOTS_RULES
 from . import bloom
 from .checkpoint import SnapshotStore
@@ -70,6 +70,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         max_attempts: int = MAX_ATTEMPTS,
         num_salts: int = 8,
+        seq_stride: int = SEQ_STRIDE,
     ):
         self.spark = spark
         # site pages keyed by canonical url; cached — it is the fetch "network"
@@ -83,10 +84,21 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.max_attempts = max_attempts
         self.num_salts = num_salts
+        # child seq = parent_seq * seq_stride + link_idx — must exceed the
+        # max out-links per page or sibling subtrees collide (int64 bounds
+        # the product to stride^depth; depth ≤ 4 in the site topologies here)
+        self.seq_stride = seq_stride
         self.disallow, self.budgets = rules_tables(
             spark, robots_rules if robots_rules is not None else ROBOTS_RULES,
             default_budget=budget,
         )
+        # phase-1 salted rank must keep at least the LARGEST effective
+        # per-host budget per salt slice, or hosts with overrides above the
+        # default silently under-schedule (budgets dim is tiny — collect once)
+        override_max = max(
+            (r["budget"] for r in self.budgets.collect()), default=budget
+        )
+        self._max_budget = max(budget, override_max)
         self.frontier: DataFrame | None = None
         self.url_seen: DataFrame | None = None
         self.bloom_shards: DataFrame | None = None
@@ -141,7 +153,7 @@ class CrawlEngine:
         million queued URLs in one task; only ≤ max_budget rows per salt
         survive to the exact per-host rank in phase 2.
         """
-        max_b = self.budget
+        max_b = self._max_budget
         salted = queued.withColumn(
             "_salt", F.pmod(F.col("url_hash"), F.lit(self.num_salts))
         )
@@ -202,7 +214,7 @@ class CrawlEngine:
             F.col("link_url").alias("url"),
             F.col("link_pri").cast("long").alias("priority"),
             (F.col("depth") + 1).alias("depth"),
-            (F.col("seq") * SEQ_STRIDE + F.col("link_idx")).alias("seq"),
+            (F.col("seq") * self.seq_stride + F.col("link_idx")).alias("seq"),
         )
 
         # cached: counted once, then written into both the frontier union
@@ -351,6 +363,11 @@ class CrawlEngine:
     def crawl_order(self) -> DataFrame:
         """All fetched rows in the global order contract."""
         last = self.store.latest_wave()
+        if last is None:
+            return self.spark.createDataFrame(
+                [], "canonical_url string, host string, priority long, "
+                    "wave int, seq long"
+            )
         frames = [
             self.store.read(self.spark, w, "fetched") for w in range(last + 1)
         ]

@@ -15,7 +15,8 @@ JVM-side (``xxhash64``, ``regexp_extract``) so Catalyst can codegen them.
 
 from __future__ import annotations
 
-from urllib.parse import quote, unquote, urlsplit, urlunsplit
+import re
+from urllib.parse import urlsplit, urlunsplit
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -24,11 +25,25 @@ from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
-# Characters that stay percent-decoded in the canonical form (RFC 3986
-# "unreserved"): handled by round-tripping through unquote + quote with a
-# safe set covering sub-delims and path/query structure.
-_SAFE_PATH = "/:@!$&'()*+,;=~-._"
-_SAFE_QUERY = "=&:@!$'()*+,;/?~-._"
+# RFC 3986 §2.3 unreserved characters: the ONLY octets whose %-escapes are
+# decoded during normalization. Reserved/other escapes keep their bytes
+# (uppercased hex) — decoding them would conflate distinct URLs (e.g.
+# '?a=%26b' vs '?a=&b' are different resources) and break idempotence.
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RX = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _requote(s: str) -> str:
+    """RFC 3986 percent-encoding normalization: decode unreserved escapes,
+    uppercase the hex of everything else; idempotent by construction."""
+
+    def fix(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RX.sub(fix, s)
 
 
 def canonicalize_one(url: str) -> str:
@@ -40,9 +55,10 @@ def canonicalize_one(url: str) -> str:
       (reference 404-repair: mdpi_review_spider.py:86-91)
     - scheme + host lowercased; default port stripped
     - dot-segments resolved; empty path → "/"
-    - query params sorted by (key, value); fragment dropped
-    - percent-encoding normalized (unreserved chars decoded, rest re-encoded
-      uppercase)
+    - query params sorted by raw (key, value) chunks; fragment dropped
+    - percent-encoding normalized per RFC 3986: only unreserved escapes
+      decode; reserved escapes keep their bytes (hex uppercased), so
+      '?a=%26b' and '?a=&b' stay distinct and the function is idempotent
     """
     if not url:
         return url
@@ -62,7 +78,7 @@ def canonicalize_one(url: str) -> str:
         netloc = host
         if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
             netloc = f"{host}:{port}"
-    path = quote(unquote(parts.path), safe=_SAFE_PATH)
+    path = _requote(parts.path)
     # resolve dot-segments
     if "." in path:
         out: list[str] = []
@@ -84,12 +100,9 @@ def canonicalize_one(url: str) -> str:
             if not chunk:
                 continue
             k, _, v = chunk.partition("=")
-            pairs.append((unquote(k), unquote(v)))
+            pairs.append((_requote(k), _requote(v)))
         pairs.sort()
-        query = "&".join(
-            f"{quote(k, safe=_SAFE_QUERY)}={quote(v, safe=_SAFE_QUERY)}"
-            for k, v in pairs
-        )
+        query = "&".join(f"{k}={v}" for k, v in pairs)
     return urlunsplit((scheme, netloc, path, query, ""))
 
 

@@ -285,25 +285,34 @@ def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — EXACT recall.
 
-    Banding on 16-bit chunks (pigeonhole: ≤ max_hamming bits differ over 4
-    chunks ⇒ at least one chunk equal when max_hamming ≤ 3·16... for the
-    general case we use 4 chunks which is exact for max_hamming ≤ 3; larger
-    budgets add a verify-only recall caveat, noted for the caller).
+    Pigeonhole banding: the 64-bit hash splits into max_hamming+1 chunks;
+    any pair within the budget must agree on at least one whole chunk, so
+    the chunk-key self-join loses nothing. Chunk count (and thus join
+    fan-out) grows with the budget; budgets above 7 get 8 chunks of 8 bits
+    which stays exact only to hamming 7 — asserted below.
     """
+    if max_hamming > 7:
+        # pigeonhole exactness needs max_hamming ≤ n_chunks - 1 and 64-bit
+        # hashes cap the useful chunk count at 8 → budgets beyond 7 would
+        # silently lose pairs; refuse instead
+        raise ValueError(f"max_hamming={max_hamming} exceeds exact banding range (7)")
+    n_chunks = max_hamming + 1
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     idx = simhash_index(docs, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), c * bits)
+                .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ]
     )
     buckets = idx.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(

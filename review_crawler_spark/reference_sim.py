@@ -60,6 +60,7 @@ def simulate(
     budget: int = DEFAULT_BUDGET,
     max_waves: int = 1000,
     rules: dict | None = None,
+    seq_stride: int = SEQ_STRIDE,
 ) -> SimResult:
     site = site if site is not None else build_site(hosts)
     rules = ROBOTS_RULES if rules is None else rules
@@ -72,7 +73,7 @@ def simulate(
         cu = canonicalize_one(url)
         url_seen.add(cu)
         frontier.append(
-            dict(url=cu, host=url.split("/")[2], priority=pri, depth=0,
+            dict(url=cu, host=cu.split("/")[2], priority=pri, depth=0,
                  seq=hseq, state="queued", attempt=0)
         )
 
@@ -123,7 +124,7 @@ def simulate(
                     continue
                 cand = dict(
                     url=cu, host=host, priority=pri, depth=e["depth"] + 1,
-                    seq=e["seq"] * SEQ_STRIDE + link_idx, state="queued", attempt=0,
+                    seq=e["seq"] * seq_stride + link_idx, state="queued", attempt=0,
                 )
                 prev = batch_best.get(cu)
                 if prev is None or (-cand["priority"], cand["seq"]) < (

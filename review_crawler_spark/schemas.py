@@ -167,21 +167,25 @@ SITE_GRAPH_SCHEMA = T.StructType(
 )
 
 # ---------------------------------------------------------------- fetched
+# Exactly what CrawlEngine.run_wave commits per wave; global crawl order is
+# derived, not stored: ORDER BY (wave, priority DESC, host, seq).
 FETCHED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("canonical_url", T.StringType(), False),
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), False),
         T.StructField("wave", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
         T.StructField("kind", T.StringType(), True),
         T.StructField("status", T.IntegerType(), False),
-        T.StructField("fetch_seq", T.LongType(), False),  # global crawl-order index
     ]
 )
 
 # ---------------------------------------------------------------- metrics
-# Per-wave, per-partition lineage rows — the checkpoint evidence the north
+# Per-wave, per-host lineage rows — the checkpoint evidence the north
 # rule asks for (counters in the reference: plos_crawler.py:286-312).
 METRICS_SCHEMA = T.StructType(
     [
@@ -189,7 +193,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("urls_scheduled", T.LongType(), False),
         T.StructField("urls_fetched", T.LongType(), False),
-        T.StructField("urls_deduped", T.LongType(), False),
+        T.StructField("urls_admitted", T.LongType(), False),
         T.StructField("errors", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
     ]

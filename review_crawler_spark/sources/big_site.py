@@ -74,7 +74,9 @@ def big_site_tables(
         )
         graphs += [pages, articles, reviews, images]
 
-        # page0 → pages 1..P-1
+        # page0 fan-out → pages 1..P-1 (keeps BFS depth ≤ 4; the engine's
+        # seq_stride must exceed the max links-per-page — callers pass
+        # seq_stride ≥ n_pages + PAGE_COUNT + 2, see bench_engine_waves)
         links.append(
             spark.range(1, n_pages, 1, parts).select(
                 F.lit(f"https://{host}/search?page_no=0").alias("page_url"),
@@ -86,7 +88,7 @@ def big_site_tables(
             )
         )
         # page p → articles [p*10, p*10+10 (+1 overlap)) ; slot 10 = overlap
-        page0_off = n_pages - 1  # page 0's article links come after its page links
+        page0_off = n_pages - 1  # page 0's article links follow its page links
         slots = spark.range(0, n_pages * (PAGE_COUNT + 1), 1, parts).select(
             (F.col("id") / (PAGE_COUNT + 1)).cast("long").alias("p"),
             (F.col("id") % (PAGE_COUNT + 1)).alias("slot"),

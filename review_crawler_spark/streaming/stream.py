@@ -45,19 +45,25 @@ def admit_stream(
     def process(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
         ident = with_url_identity(batch).dropDuplicates(["url_hash"])
-        try:
+        if os.path.isdir(url_seen_dir) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(url_seen_dir)
+        ):
             seen = sp.read.parquet(url_seen_dir).select("url_hash")
             new = ident.join(seen, "url_hash", "left_anti")
-        except Exception:  # first batch: no url_seen yet
+        else:  # first batch: no url_seen yet (a corrupt dir must raise, not
+            # silently re-admit the world)
             new = ident
         # materialize the admitted output BEFORE touching url_seen: the
         # anti-join reads url_seen lazily, so appending first would make the
-        # batch's own hashes disappear from its admitted output
+        # batch's own hashes disappear from its admitted output.
+        # Both writes are epoch-keyed overwrites → an epoch replay after a
+        # partial failure rewrites the same partitions instead of appending
+        # duplicates (exactly-once per epoch).
         epoch_dir = os.path.join(admitted_dir, f"epoch={epoch_id}")
         new.write.mode("overwrite").parquet(epoch_dir)
-        sp.read.parquet(epoch_dir).select("url_hash").write.mode("append").parquet(
-            url_seen_dir
-        )
+        sp.read.parquet(epoch_dir).select("url_hash").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(url_seen_dir, f"epoch={epoch_id}"))
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -63,11 +63,37 @@ def test_minhash_signature_null_for_short_docs(docs):
 def test_simhash_near_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_near_pairs(docs, max_hamming=10).collect()
+        for r in D.simhash_near_pairs(docs, max_hamming=7).collect()
     }
     assert pairs.get((1, 2)) == 0  # identical text → identical simhash
     assert (1, 3) in pairs  # near dup within hamming budget
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_exact_recall_within_budget(spark, docs):
+    """Banding must lose NOTHING within the hamming budget: compare against
+    a brute-force all-pairs hamming computation."""
+    import itertools
+
+    idx = {r["doc_id"]: r["simhash"] for r in D.simhash_index(docs).collect()}
+    brute = {
+        (a, b): bin((idx[a] ^ idx[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(idx), 2)
+    }
+    for budget in (1, 3, 5, 7):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_near_pairs(docs, max_hamming=budget).collect()
+        }
+        want = {p for p, h in brute.items() if h <= budget}
+        assert got == want, (budget, got, want)
+
+
+def test_simhash_budget_beyond_exact_range_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash_near_pairs(None, max_hamming=8)
 
 
 def test_ngram_jaccard_pairs(docs):
