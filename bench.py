@@ -26,7 +26,7 @@ FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "1500000"))
 SCALING_N = int(os.environ.get("BENCH_SCALING_N", "10000000"))
 SEEN_FRACTION = 0.25
 # bump when the benched pipeline changes — stale bests reset automatically
-PIPELINE_VERSION = "v3-parquet-input"
+PIPELINE_VERSION = "v5-single-probe-pass"
 
 
 def _container_cpu_sec() -> float | None:
@@ -78,9 +78,14 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
     # input materialized as parquet (untimed): the benchmark measures the
     # admission pipeline over stored frontier rows, not column-expression
     # datagen
-    frontier_path = f"/tmp/bench_frontier_{n}"
+    # 96 partitions so the scan (and the canonicalize UDF pipelined onto
+    # it) parallelizes at every tested core count — a low-partition file
+    # written by a small session would cap the big session's scan stage
+    frontier_path = f"/tmp/bench_frontier_{n}_p96"
     if not os.path.exists(frontier_path + "/_SUCCESS"):
-        synthetic_frontier(spark, n).write.mode("overwrite").parquet(frontier_path)
+        synthetic_frontier(spark, n).repartition(96).write.mode(
+            "overwrite"
+        ).parquet(frontier_path)
     frontier = spark.read.parquet(frontier_path)
 
     t0 = time.time()
@@ -88,7 +93,11 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
     # canonical string only — halves the dedup shuffle width. Dedup and
     # bloom probe are FUSED into one shard-keyed shuffle (bloom.dedup_and_probe).
     ident = with_url_identity(frontier).drop("url")
-    probed = bloom.dedup_and_probe(ident, shards, num_shards)
+    # one materialization — the fresh/suspect branches would otherwise
+    # recompute the whole canonicalize + cogroup probe twice
+    probed = bloom.dedup_and_probe(ident, shards, num_shards).localCheckpoint(
+        eager=True
+    )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = suspect.join(url_seen, "url_hash", "left_anti")

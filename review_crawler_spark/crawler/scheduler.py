@@ -319,6 +319,9 @@ class CrawlEngine:
             # identical to the simulator's admission contract — and tests
             # the shard's bloom bits in the same task (C3 two-phase dedup)
             shards = self.bloom_shards
+            # materialized once: the fresh/suspect split consumes probed in
+            # two plan branches — without this the canonicalize + cogroup
+            # probe would execute twice per wave
             probed = bloom.dedup_and_probe(
                 allowed.select(
                     "url", "canonical_url", "url_hash", "host",
@@ -326,7 +329,7 @@ class CrawlEngine:
                 ),
                 shards,
                 self.num_bloom_shards,
-            )
+            ).localCheckpoint(eager=True)
             fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
             confirmed_new = suspect.join(
