@@ -26,7 +26,7 @@ FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "1500000"))
 SCALING_N = int(os.environ.get("BENCH_SCALING_N", "10000000"))
 SEEN_FRACTION = 0.25
 # bump when the benched pipeline changes — stale bests reset automatically
-PIPELINE_VERSION = "v5-single-probe-pass"
+PIPELINE_VERSION = "v6-shuffle-mult1"
 
 
 def _container_cpu_sec() -> float | None:
@@ -45,8 +45,9 @@ def _container_cpu_sec() -> float | None:
 def build_session(cpus: int):
     from review_crawler_spark.session import get_spark
 
+    mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "1"))
     return get_spark(app_name=f"bench[{cpus}]", cpus=cpus,
-                     shuffle_partitions=2 * cpus, driver_memory="48g")
+                     shuffle_partitions=mult * cpus, driver_memory="48g")
 
 
 def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
