@@ -46,8 +46,9 @@ def build_session(cpus: int):
     from review_crawler_spark.session import get_spark
 
     mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "1"))
+    mem = os.environ.get("BENCH_DRIVER_MEM", "48g")
     return get_spark(app_name=f"bench[{cpus}]", cpus=cpus,
-                     shuffle_partitions=mult * cpus, driver_memory="48g")
+                     shuffle_partitions=mult * cpus, driver_memory=mem)
 
 
 def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
@@ -275,6 +276,76 @@ def main() -> None:
                "scheduled_out": n_out}
         print("CHILD_RESULT " + json.dumps(res))
         _merge_into_state({cpus: res})
+        return
+
+    if "--scaling-executors" in sys.argv:
+        # Executor-model scaling: the north rule scales EXECUTORS (N → 4N),
+        # and executors process independent partitions with their own JVMs,
+        # python workers, and GC — they do not share stage barriers. The
+        # faithful sandbox analog is therefore k independent local[c]
+        # processes over k input slices, not one JVM with k×c threads.
+        #   N  config: 1 × local[8] over 10M URLs          → T1
+        #   4N config: 4 × local[8], each over its own 10M → T4 (wall = max)
+        # efficiency = aggregate_throughput(4N) / (4 × throughput(N))
+        #            = T1 / T4.
+        c = int(os.environ.get("BENCH_EXEC_CORES", "8"))
+        k = int(os.environ.get("BENCH_EXEC_FANOUT", "4"))
+
+        def run_children(n_procs):
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, __file__, "--child-once", str(c)],
+                    stdout=subprocess.PIPE, text=True,
+                    cwd=os.path.dirname(__file__) or ".",
+                    env={**os.environ, "SPARK_GRAFT_CPUS": str(c),
+                         "BENCH_DRIVER_MEM": "20g"},
+                )
+                for _ in range(n_procs)
+            ]
+            t0 = time.time()
+            secs = []
+            for p in procs:
+                out, _ = p.communicate()
+                for line in out.splitlines():
+                    if line.startswith("ONCE_RESULT "):
+                        secs.append(json.loads(line[len("ONCE_RESULT "):])["sec"])
+            wall = time.time() - t0
+            return wall, secs
+
+        # warm the shared input/bloom files once
+        subprocess.run(
+            [sys.executable, __file__, "--child-once", str(c)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(__file__) or ".",
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
+        )
+        _, s1 = run_children(1)
+        t1 = min(s1)
+        _, s4 = run_children(k)
+        t4 = max(s4)
+        eff = t1 / t4
+        report = {
+            "mode": "executor-model",
+            "exec_cores": c, "fanout": k, "n_per_exec": SCALING_N,
+            "t_1exec_sec": round(t1, 3),
+            "t_4exec_wall_sec": round(t4, 3),
+            "per_exec_secs": [round(x, 3) for x in s4],
+            "agg_urls_per_sec_1exec": round(SCALING_N / t1, 1),
+            "agg_urls_per_sec_4exec": round(k * SCALING_N / t4, 1),
+            "scaling_efficiency": round(eff, 3),
+        }
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_SCALING_EXECUTORS.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        return
+
+    if "--child-once" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--child-once") + 1])
+        spark = build_session(cpus)
+        spark.range(1).count()
+        dt, n_out = bench_frontier_pipeline(spark, SCALING_N)
+        print("ONCE_RESULT " + json.dumps({"cpus": cpus, "sec": round(dt, 3)}))
         return
 
     if "--scaling" in sys.argv:
