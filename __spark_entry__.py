@@ -203,7 +203,7 @@ def _q_a1_conditional_counts(spark, sf_dir):
 
 _SQL_A1 = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR)
          AS total_price
 FROM orders GROUP BY o_orderpriority
@@ -557,7 +557,7 @@ def _q_events_json(spark, sf_dir):
 
 _SQL_EVENTS_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(json_extract_string(props, '$.k')) AS n_k
 FROM events GROUP BY event_type
 """
@@ -998,7 +998,7 @@ def _q_a2_a3_stats(spark, sf_dir):
 
 _SQL_A2_A3 = """
 SELECT lang,
-       sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_long,
+       CAST(sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
        CAST(floor(sum(CAST(n_chars AS DECIMAL(38,6))) * 10000 / count(*)) AS BIGINT)
          AS mean_chars_e4,
        count(*) AS n_docs
