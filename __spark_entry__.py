@@ -1210,6 +1210,73 @@ def oracle_sql() -> dict[str, str]:
         "x14_date_sanity": _SQL_X14_SANITY,
         "x22_tojson_roundtrip": _SQL_X22_TOJSON,
         "review_rounds_extract": _SQL_REVIEW_ROUNDS,
-        # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh: non-SQL hashes →
-        # rows-only driver check; properties covered in tests/.
+        # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
+        # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
+        # hyperplanes). Their oracles are inline VALUES tables produced by an
+        # independent pure-Python reimplementation (tools/gen_expected.py),
+        # gated on the input row count so the right expectation is selected
+        # at any scale factor the driver runs.
+        **_expected_values_oracles(),
     }
+
+
+def _expected_values_oracles() -> dict[str, str]:
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "expected", "expected_pairs.json")
+    try:
+        with open(path) as fh:
+            exp = _json.load(fh)
+    except OSError:
+        return {}
+
+    # gate = "<count>:<sum(n_chars)>" recomputed by DuckDB from the views at
+    # driver time; count alone is ambiguous (sf0.001 and sf0.01 both have
+    # 500 docs), the n_chars checksum pins the scale factor exactly.
+    doc_gate = (
+        "(SELECT count(*) || ':' || CAST(sum(n_chars) AS BIGINT) FROM documents)"
+    )
+    ann_gate = (
+        "((SELECT CAST(count(*) AS VARCHAR) FROM embeddings) || ':' || "
+        "(SELECT CAST(CAST(sum(n_chars) AS BIGINT) AS VARCHAR) FROM documents))"
+    )
+    specs = {
+        "minhash_lsh_pairs": (
+            doc_gate,
+            ["CAST(? AS BIGINT) AS id_a", "CAST(? AS BIGINT) AS id_b",
+             "CAST(? AS DOUBLE) AS jaccard"],
+        ),
+        "simhash_pairs": (
+            doc_gate,
+            ["CAST(? AS BIGINT) AS id_a", "CAST(? AS BIGINT) AS id_b",
+             "CAST(? AS INT) AS hamming"],
+        ),
+        "ann_topk_lsh": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
+        ),
+    }
+    out: dict[str, str] = {}
+    for name, (gate_expr, col_casts) in specs.items():
+        blocks = exp.get(name)
+        if not blocks:
+            continue
+        value_rows = []
+        for block in blocks:
+            g = block["gate"]
+            for row in block["rows"]:
+                value_rows.append(
+                    "(" + ", ".join([f"'{g}'"] + [repr(v) for v in row]) + ")"
+                )
+        col_names = [c.rsplit(" AS ", 1)[1] for c in col_casts]
+        sel = ", ".join(
+            c.replace("?", col_names[i]) for i, c in enumerate(col_casts)
+        )
+        out[name] = (
+            f"SELECT {sel} FROM (VALUES " + ", ".join(value_rows) + ") AS "
+            f"t(gate, " + ", ".join(col_names) + ") "
+            f"WHERE gate = {gate_expr}"
+        )
+    return out

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import normalize_text, word_shingles
+from ..functions.text import exploded_word_shingles, normalize_text, word_shingles
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -84,28 +84,38 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig array<bigint>) — minhash over word k-shingles, pure JVM ops.
 
-    Each of the ``num_hashes`` lanes is min(xxhash64(shingle, seed_i));
-    transform+array_min stay inside codegen — no Python, no shuffle.
+    Lane ``i`` is ``min over shingles of xxhash64(xxhash64(shingle), i)``:
+    each shingle string is hashed ONCE, then the 32 lanes are derived with
+    cheap long-hashes — 1 string hash + num_hashes long hashes per shingle
+    instead of num_hashes string hashes (the dominant CPU at corpus scale).
     Empty docs (< k words) get a null signature.
+
+    Shape: explode shingles to rows → scalar xxhash64 columns (whole-stage
+    codegen) → groupBy(id) with ``num_hashes`` min() lanes (map-side partial
+    agg collapses each partition to one row per doc before the shuffle, so
+    shuffle volume is docs × num_hashes longs regardless of shingle count).
+    Two earlier shapes were rejected: 32 sibling ``F.transform`` lambdas
+    collapse to one degenerate lane in PySpark 4 (lambda-variable dedup —
+    caught by the pure-Python oracle in tools/gen_expected.py), and a
+    transform+aggregate+zip_with fold is interpreted per element (no
+    codegen), ~10× slower than the exploded scalar pipeline.
     """
-    shingles = word_shingles(F.col(text_col), k=shingle_k)
-    lanes = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s, i=i: F.xxhash64(s, F.lit(i)),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    spread = _spread(docs.select(F.col(id_col), F.col(text_col)))
+    exploded = exploded_word_shingles(spread, id_col, text_col, k=shingle_k)
+    hashed = exploded.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    lanes = hashed.select(
+        F.col(id_col),
+        *[F.xxhash64("_h", F.lit(i)).alias(f"_l{i}") for i in range(num_hashes)],
     )
-    return (
-        _spread(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), shingles.alias("_sh"))
-        .withColumn("sig", F.when(F.size("_sh") > 0, lanes))
-        .select(id_col, "sig")
+    aggd = lanes.groupBy(id_col).agg(
+        *[F.min(f"_l{i}").alias(f"_m{i}") for i in range(num_hashes)]
     )
+    sig = aggd.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    # docs with < k words have no shingle rows — restore them with null sig
+    return spread.select(id_col).join(sig, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -146,23 +156,43 @@ def minhash_lsh_pairs(
     buckets = sigs.select(id_col, F.explode(band_arr).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    # One aggregation instead of a bucket self-join: collect each bucket's
+    # member ids, keep multi-member buckets, and expand pairs with SQL
+    # lambdas. The aggregation's exchange is the single shuffle below both
+    # consumers (pairs + candidate ids), so the signature computation runs
+    # once and is deduplicated by ReusedExchange — a self-join would let AQE
+    # broadcast one side and recompute the signature subtree per occurrence.
+    # Note: a bucket of m near-identical docs expands m²/2 pairs in one task;
+    # that fan-out is inherent to LSH (the self-join emits the same pairs),
+    # and bands over 64-bit hashes keep non-degenerate buckets tiny.
+    bucket_groups = (
+        buckets.groupBy("band", "key")
+        .agg(F.collect_set(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(_ids, ida -> "
+        "transform(filter(_ids, idb -> idb > ida), "
+        "idc -> named_struct('id_a', ida, 'id_b', idc))))"
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        bucket_groups.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    shing = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), k=shingle_k)).alias("_set"),
+    # Verify-stage prune: recompute shingle sets ONLY for candidate ids, so
+    # the verify joins shuffle candidates' shingle arrays — never the whole
+    # corpus's.
+    cand_ids = (
+        bucket_groups.select(F.explode("_ids").alias(id_col)).distinct()
+    )
+    shing = (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col), k=shingle_k)).alias("_set"),
+        )
     )
     verified = (
         cand.join(shing.withColumnRenamed(id_col, "id_a").withColumnRenamed("_set", "_sa"), "id_a")
@@ -233,43 +263,76 @@ def ngram_jaccard_pairs(
 SIMHASH_SCHEMA = T.LongType()
 
 
+def _fnv1a64_matrix(uniq_bytes: list[bytes]) -> np.ndarray:
+    """FNV-1a 64 of each byte string, vectorized ACROSS strings.
+
+    All strings fold simultaneously, one numpy pass per byte POSITION
+    (h = (h ^ b) * prime on a masked uint64 vector) — interpreted-Python
+    cost is O(max_len) vector ops, not O(total_bytes) scalar ops. uint64
+    multiply wraps natively.
+    """
+    n = len(uniq_bytes)
+    lens = np.fromiter((len(b) for b in uniq_bytes), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if total == 0 or n == 0:
+        return h
+    maxlen = int(lens.max())
+    flat = np.frombuffer(b"".join(uniq_bytes), dtype=np.uint8)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(offs, lens)
+    buf[rows, cols] = flat
+    prime = np.uint64(0x100000001B3)
+    for p in range(maxlen):
+        active = lens > p
+        hp = h[active]
+        h[active] = (hp ^ buf[active, p].astype(np.uint64)) * prime
+    return h
+
+
 @F.pandas_udf(SIMHASH_SCHEMA)
 def simhash_udf(tokens: pd.Series) -> pd.Series:
     """64-bit SimHash over token arrays — Arrow batch in, numpy fold inside.
 
-    Per batch: hash every token (FNV-1a 64, vectorized over a flat token
-    frame), expand to ±1 bit lanes, segment-sum per row, sign → bits.
+    Per batch: FNV-1a-64 every unique token via the byte-position-vectorized
+    fold (_fnv1a64_matrix — no per-byte Python), unpack hashes to a bit
+    matrix, segment-sum per row with add.reduceat (token runs arrive
+    row-contiguous from Arrow), majority-sign → bits.
     """
     out = np.zeros(len(tokens), dtype=np.int64)
     flat: list[str] = []
-    row_idx: list[int] = []
+    seg_rows: list[int] = []  # row index per non-null row, in order
+    seg_counts: list[int] = []
     for i, toks in enumerate(tokens):
         if toks is None:
             continue
-        for t in toks:
-            flat.append(t)
-            row_idx.append(i)
+        flat.extend(toks)
+        seg_rows.append(i)
+        seg_counts.append(len(toks))
     if flat:
-        # FNV-1a 64-bit, vectorized via Python-level hash loop per unique token
         uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-        hs = np.empty(len(uniq), dtype=np.uint64)
-        for j, tok in enumerate(uniq):
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
+        hs = _fnv1a64_matrix([t.encode("utf-8") for t in uniq])
         tok_h = hs[inv]
-        bits = ((tok_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        ) * 2 - 1
-        rows = np.asarray(row_idx)
-        acc = np.zeros((len(tokens), 64), dtype=np.int64)
-        np.add.at(acc, rows, bits)
-        sim = (acc > 0).astype(np.uint64)
-        vals = np.zeros(len(tokens), dtype=np.uint64)
+        # bits: little-endian byte view + little bitorder = bit 0..63 columns
+        bits = np.unpackbits(
+            tok_h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        counts = np.asarray(seg_counts, dtype=np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonzero = counts > 0
+        ones = np.zeros((len(counts), 64), dtype=np.int64)
+        if nonzero.any():
+            ones[nonzero] = np.add.reduceat(bits, starts[nonzero], axis=0)
+        # sign of sum(±1) = (2*ones > n_tokens); ties (acc==0) → bit 0
+        sim = (2 * ones > counts[:, None]).astype(np.uint64)
+        vals = np.zeros(len(counts), dtype=np.uint64)
         for b in range(64):
             vals |= sim[:, b] << np.uint64(b)
-        out = vals.astype(np.int64)
+        out[np.asarray(seg_rows)] = vals.astype(np.int64)
     return pd.Series(out)
 
 
@@ -318,23 +381,30 @@ def simhash_near_pairs(
     buckets = idx.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
         id_col, "simhash", "ck.chunk", "ck.key"
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # One aggregation instead of a bucket self-join (see minhash_lsh_pairs):
+    # collect each chunk-bucket's (id, simhash) members, expand pairs and the
+    # hamming distance with SQL lambdas — the simhash UDF is evaluated once,
+    # not once per join side.
+    groups = (
+        buckets.groupBy("chunk", "key")
+        .agg(
+            F.collect_set(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(_ms, pa -> "
+        "transform(filter(_ms, pb -> pb.id > pa.id), "
+        "pc -> named_struct("
+        "'id_a', pa.id, 'id_b', pc.id, "
+        "'hamming', CAST(bit_count(pa.simhash ^ pc.simhash) AS INT)))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("hamming", ham)
+        groups.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
-        )
         .distinct()
     )
 

@@ -1,0 +1,331 @@
+"""Independent pure-Python oracle for the three non-SQL-expressible queries.
+
+``minhash_lsh_pairs``, ``simhash_pairs`` and ``ann_topk_lsh`` depend on hash
+functions DuckDB cannot reproduce (Spark's xxhash64 seed chain, FNV-1a-64,
+seeded numpy hyperplanes).  This script recomputes their expected outputs
+from scratch — a from-first-principles reimplementation of the public
+algorithms (XXH64 spec, FNV-1a spec, random-hyperplane LSH), sharing no code
+with review_crawler_spark/operators/* — and records them per scale factor in
+``expected/expected_pairs.json``.  ``__spark_entry__.oracle_sql()`` turns the
+records into inline ``VALUES`` tables gated on ``(SELECT count(*) FROM
+documents|embeddings)``, so the driver's DuckDB side selects the right
+expectation for whatever SF it runs.
+
+Run:  python tools/gen_expected.py [sf_dir ...]
+Defaults to /root/testdata/sf0.001 sf0.01 sf0.1.
+
+Cross-checked against Spark by tests/test_expected_oracle.py (xxhash64
+parity on samples + full query equality at sf0.001).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# ---------------------------------------------------------------- XXH64
+# Public xxHash-64 spec (Yann Collet); Spark's XxHash64 expression chains
+# column hashes with seed 42 and hashes ints/longs as 4/8-byte LE words.
+
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) & MASK64
+    h ^= h >> 29
+    h = (h * P3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Standard XXH64 of a byte string (little-endian word reads)."""
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK64
+        v2 = (seed + P2) & MASK64
+        v3 = seed & MASK64
+        v4 = (seed - P1) & MASK64
+        while off + 32 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                k = struct.unpack_from("<Q", data, off + 8 * i)[0]
+                v = (v + k * P2) & MASK64
+                v = (_rotl(v, 31) * P1) & MASK64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK64
+        for v in (v1, v2, v3, v4):
+            k = (_rotl((v * P2) & MASK64, 31) * P1) & MASK64
+            h = ((h ^ k) * P1 + P4) & MASK64
+    else:
+        h = (seed + P5) & MASK64
+    h = (h + n) & MASK64
+    while off + 8 <= n:
+        k = struct.unpack_from("<Q", data, off)[0]
+        k = (_rotl((k * P2) & MASK64, 31) * P1) & MASK64
+        h = (_rotl(h ^ k, 27) * P1 + P4) & MASK64
+        off += 8
+    if off + 4 <= n:
+        k = struct.unpack_from("<I", data, off)[0]
+        h = (_rotl(h ^ ((k * P1) & MASK64), 23) * P2 + P3) & MASK64
+        off += 4
+    while off < n:
+        h = (_rotl(h ^ ((data[off] * P5) & MASK64), 11) * P1) & MASK64
+        off += 1
+    return _fmix(h)
+
+
+def _to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64(*cols) -> int:
+    """Spark ``F.xxhash64(c1, c2, ...)``: fold over columns with seed 42.
+
+    str → XXH64 of UTF-8 bytes; ('int', v) → 4-byte LE; plain int → 8-byte
+    LE (LongType).  Returns the signed 64-bit value Spark yields.
+    """
+    h = 42
+    for c in cols:
+        if isinstance(c, str):
+            h = xxh64(c.encode("utf-8"), h)
+        elif isinstance(c, tuple) and c[0] == "int":
+            h = xxh64(struct.pack("<i", c[1]), h)
+        else:
+            h = xxh64(struct.pack("<Q", c & MASK64), h)
+    return _to_signed(h)
+
+
+# ---------------------------------------------------------------- text
+
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def normalize(s: str) -> str:
+    return _WS.sub(" ", _PUNCT.sub("", s.lower())).strip()
+
+
+def shingles(s: str, k: int) -> list[str]:
+    words = normalize(s).split(" ")
+    if len(words) < k:
+        return []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Spark F.round on doubles: BigDecimal(shortest-repr).setScale(HALF_UP)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_expected(ids, texts, num_hashes=32, bands=8, shingle_k=3, thr=0.5):
+    rows_per_band = num_hashes // bands
+    lane_cache: dict[str, list[int]] = {}
+
+    def lanes_of(sh: str) -> list[int]:
+        # lane i = xxhash64(xxhash64(shingle), i): string hashed once (seed
+        # 42), then per-lane chain hashLong(base, 42) -> hashInt(i, ·)
+        got = lane_cache.get(sh)
+        if got is None:
+            base = xxh64(sh.encode("utf-8"), 42)
+            h_long = xxh64(struct.pack("<Q", base), 42)
+            got = [
+                _to_signed(xxh64(struct.pack("<i", i), h_long))
+                for i in range(num_hashes)
+            ]
+            lane_cache[sh] = got
+        return got
+
+    sets: dict[int, frozenset] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(ids, texts):
+        sh = shingles(text, shingle_k)
+        if not sh:
+            continue
+        sets[doc_id] = frozenset(sh)
+        sig = [
+            min(lanes_of(s)[i] for s in sh) for i in range(num_hashes)
+        ]
+        for b in range(bands):
+            key = spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets.setdefault((b, key), []).append(doc_id)
+
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    out = []
+    for a, b in sorted(cand):
+        sa, sb = sets[a], sets[b]
+        jac = round_half_up(len(sa & sb) / len(sa | sb), 6)
+        if jac >= thr:
+            out.append((a, b, jac))
+    return out
+
+
+# ---------------------------------------------------------------- simhash
+
+def _fnv1a64(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & MASK64
+    return h
+
+
+def simhash_expected(ids, texts, max_hamming=3):
+    n_chunks = max_hamming + 1
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    tok_cache: dict[str, int] = {}
+    hashes: dict[int, int] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(ids, texts):
+        acc = [0] * 64
+        for tok in normalize(text).split(" "):
+            h = tok_cache.get(tok)
+            if h is None:
+                h = _fnv1a64(tok.encode("utf-8"))
+                tok_cache[tok] = h
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sim = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sim |= 1 << b
+        hashes[doc_id] = sim
+        for c in range(n_chunks):
+            buckets.setdefault((c, (sim >> (c * bits)) & mask), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    ham = bin(hashes[ms[i]] ^ hashes[ms[j]]).count("1")
+                    if ham <= max_hamming:
+                        pairs.add((ms[i], ms[j], ham))
+    return sorted(pairs)
+
+
+# ---------------------------------------------------------------- ann lsh
+
+def ann_lsh_expected(vec_ids, mat, query, k=10, num_planes=12, max_hamming=2, seed=42):
+    dim = len(query)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    q = np.asarray(query, dtype=np.float64)
+    sig_bits = (mat @ planes) > 0
+    sigs = np.zeros(len(vec_ids), dtype=np.int64)
+    for b in range(num_planes):
+        sigs |= sig_bits[:, b].astype(np.int64) << b
+    qbits = (q @ planes) > 0
+    qsig = 0
+    for b in range(num_planes):
+        qsig |= int(qbits[b]) << b
+    ham = np.array([bin(int(s) ^ qsig).count("1") for s in sigs])
+    cand = ham <= max_hamming
+
+    # Spark-exact cosine: strict left-to-right double folds, then HALF_UP(6).
+    qn = float(np.sqrt(np.dot(q, q)))
+    scored = []
+    for i in np.nonzero(cand)[0]:
+        v = mat[i]
+        dot = 0.0
+        nrm = 0.0
+        for j in range(dim):
+            dot += v[j] * q[j]
+            nrm += v[j] * v[j]
+        cos = round_half_up(dot / (np.sqrt(nrm) * qn), 6)
+        scored.append((int(vec_ids[i]), cos))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+# ---------------------------------------------------------------- driver
+
+def generate(sf_dirs):
+    import duckdb
+
+    con = duckdb.connect()
+    out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": []}
+    for sf_dir in sf_dirs:
+        docs = con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        ids = [r[0] for r in docs]
+        texts = [r[1] for r in docs]
+        n_docs = len(ids)
+        # count alone is ambiguous across SFs (sf0.001 and sf0.01 both have
+        # 500 docs) — gate on count:sum(n_chars), a content checksum DuckDB
+        # recomputes from the pre-registered views at driver time.
+        sum_chars = con.execute(
+            f"SELECT CAST(sum(n_chars) AS BIGINT) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        doc_gate = f"{n_docs}:{sum_chars}"
+        print(f"{sf_dir}: {n_docs} docs gate={doc_gate}", flush=True)
+        mh = minhash_expected(ids, texts)
+        print(f"  minhash pairs: {len(mh)}", flush=True)
+        sh = simhash_expected(ids, texts)
+        print(f"  simhash pairs: {len(sh)}", flush=True)
+        out["minhash_lsh_pairs"].append(
+            {"gate": doc_gate, "rows": [[a, b, j] for a, b, j in mh]}
+        )
+        out["simhash_pairs"].append(
+            {"gate": doc_gate, "rows": [[a, b, h] for a, b, h in sh]}
+        )
+
+        emb = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        vec_ids = [r[0] for r in emb]
+        mat = np.array([r[1] for r in emb], dtype=np.float64)
+        query = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(mat.shape[1])]
+        ann = ann_lsh_expected(vec_ids, mat, query)
+        print(f"  ann rows: {len(ann)} over {len(vec_ids)} vectors", flush=True)
+        out["ann_topk_lsh"].append(
+            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ann]}
+        )
+    path = os.path.join(os.path.dirname(__file__), "..", "expected", "expected_pairs.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", os.path.abspath(path))
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    generate(dirs)
