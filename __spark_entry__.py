@@ -721,6 +721,176 @@ FROM documents
 """
 
 
+def _q_html_clean(spark, sf_dir):
+    """S9 HTML cleaning round-trip: inject script/style/noscript/link/rect/
+    comment junk into every page, strip it with the vectorized cleaner
+    (article_spider.py:168-180 semantics), and emit the WHOLE cleaned page —
+    the oracle reconstructs the clean page character-for-character."""
+    from review_crawler_spark.functions.html import banned_tag_count, clean_html
+    from review_crawler_spark.sources.corpus import dirty_html_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    pages = dirty_html_corpus(ids)
+    return pages.select(
+        "doc_id",
+        clean_html(F.col("html")).alias("cleaned"),
+        banned_tag_count(F.col("html")).alias("n_banned_before"),
+        banned_tag_count(clean_html(F.col("html"))).alias("n_banned_after"),
+    )
+
+
+_SQL_HTML_CLEAN = """
+WITH au AS (
+  SELECT doc_id,
+         string_agg('<meta name="citation_author" content="'
+                    || chr(65 + CAST((doc_id + i) % 26 AS INT)) || 'iven'
+                    || CAST(doc_id AS VARCHAR) || ' Family'
+                    || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+                    || '">', '' ORDER BY i) AS authors_meta
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i
+        FROM documents)
+  GROUP BY doc_id
+), kw AS (
+  SELECT doc_id,
+         '<meta name="citation_keywords" content="'
+         || string_agg('kw' || CAST((doc_id * 3 + k) % 50 AS VARCHAR),
+                       '; ' ORDER BY k)
+         || '">' AS kw_meta
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5 - 1)) AS k
+        FROM documents WHERE doc_id % 5 <> 0)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  '<html><head>'
+  || '<meta name="citation_title" content="Synthetic study '
+  || CAST(d.doc_id AS VARCHAR) || ' on parameter '
+  || CAST(d.doc_id % 7 AS VARCHAR) || '">'
+  || '<meta name="citation_doi" content="10.9999/synth.'
+  || CAST(d.doc_id AS VARCHAR) || '">'
+  || '<meta name="citation_volume" content="'
+  || CAST(1 + d.doc_id % 20 AS VARCHAR) || '">'
+  || '<meta name="citation_publication_date" content="'
+  || CAST(2015 + d.doc_id % 10 AS VARCHAR) || '/'
+  || CAST(1 + d.doc_id % 12 AS VARCHAR) || '">'
+  || '<meta name="citation_journal_title" content="Synthetic Journal '
+  || CAST(d.doc_id % 10 AS VARCHAR) || '">'
+  || a.authors_meta
+  || coalesce(k.kw_meta, '')
+  || '</head><body>'
+  || CASE WHEN d.doc_id % 41 = 0
+       THEN '<div>Retraction published on '
+            || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1
+                         ELSE 1 + d.doc_id % 28 END AS VARCHAR)
+            || ' January 2024</div>'
+       ELSE '' END
+  || CASE WHEN d.doc_id % 3 = 0
+       THEN '<a href="https://www.mdpi.com/synth/' || CAST(d.doc_id AS VARCHAR)
+            || '/review_report">Peer Review Report</a>'
+       ELSE '' END
+  || '</body></html>' AS cleaned,
+  CAST(7 AS INT) AS n_banned_before,
+  CAST(0 AS INT) AS n_banned_after
+FROM documents d
+JOIN au a ON a.doc_id = d.doc_id
+LEFT JOIN kw k ON k.doc_id = d.doc_id
+"""
+
+
+def _q_jats_parse_extended(spark, sf_dir):
+    """U1 extended-field round-trip: affiliations/rid resolution (J3/X20),
+    corresponding-author emails + author match (J4), history dates + sanity
+    (X13), related-article dict (X17), taxonomy, fig/table/page/word counts
+    (A8), abstract and license — the full rarticle.py field surface
+    (/root/reference/rarticle.py:233-330,351-382,417-512,596-721,738-767,
+    875-900,1062-1066,1180-1239,1311-1355). Arrays are emitted joined so the
+    driver's value-hash is representation-stable."""
+    from review_crawler_spark.functions.parse import parse_jats_udf
+    from review_crawler_spark.sources.corpus import jats_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_jats_udf(jats_corpus(ids))
+    return parsed.select(
+        "doc_id",
+        F.array_join("affiliations", "; ").alias("affs_joined"),
+        F.array_join("author_affiliations", " || ").alias("author_affs_joined"),
+        F.array_join("corr_email_keys", ",").alias("corr_key"),
+        F.array_join("corr_emails", ",").alias("corr_emails_joined"),
+        "corr_author_surname",
+        "received_date", "accepted_date", "dates_in_order",
+        F.array_join("related_dois", ",").alias("related_joined"),
+        F.array_join("taxonomy", ",").alias("taxonomy_joined"),
+        "fig_count", "table_count", "page_count", "word_count",
+        "abstract", "license_type", "license_href",
+    )
+
+
+_SQL_JATS_EXT = """
+WITH affs AS (
+  SELECT doc_id,
+         string_agg('Institute ' || CAST((doc_id * 7 + j) % 25 AS VARCHAR)
+                    || ', City ' || CAST((doc_id + j) % 9 AS VARCHAR),
+                    '; ' ORDER BY j) AS affs_joined
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+        FROM documents)
+  GROUP BY doc_id
+), author_affs AS (
+  SELECT doc_id,
+         string_agg('Institute '
+                    || CAST((doc_id * 7 + (doc_id + i) % (1 + doc_id % 3)) % 25 AS VARCHAR)
+                    || ', City '
+                    || CAST((doc_id + (doc_id + i) % (1 + doc_id % 3)) % 9 AS VARCHAR),
+                    ' || ' ORDER BY i) AS author_affs_joined
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i
+        FROM documents)
+  GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         doc_id % (1 + doc_id % 4) AS corr_i,
+         make_date(CAST(2015 + doc_id % 10 AS INT),
+                   CAST(1 + doc_id % 12 AS INT),
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                             ELSE 1 + doc_id % 28 END AS INT)) AS epub
+  FROM documents
+)
+SELECT b.doc_id,
+  a.affs_joined,
+  aa.author_affs_joined,
+  CASE WHEN b.doc_id % 4 = 0
+       THEN chr(65 + CAST((b.doc_id + b.corr_i) % 26 AS INT)) || 'F'
+       ELSE 'cor1' END AS corr_key,
+  'corr' || CAST(b.doc_id AS VARCHAR) || '@example'
+    || CAST(b.doc_id % 5 AS VARCHAR) || '.org' AS corr_emails_joined,
+  'Family' || CAST(b.doc_id AS VARCHAR) || '_'
+    || CAST(b.corr_i AS VARCHAR) AS corr_author_surname,
+  CAST(b.epub - CAST(30 + b.doc_id % 60 AS INT) AS VARCHAR) AS received_date,
+  CAST(CASE WHEN b.doc_id % 37 = 0 THEN b.epub + 3
+            ELSE b.epub - CAST(b.doc_id % 30 AS INT) END AS VARCHAR)
+    AS accepted_date,
+  b.doc_id % 37 <> 0 AS dates_in_order,
+  concat_ws(',',
+    CASE WHEN b.doc_id % 41 = 0
+         THEN 'retracted-article|10.9999/synth.' || CAST(b.doc_id AS VARCHAR)
+         END,
+    CASE WHEN b.doc_id % 6 = 0
+         THEN 'companion|10.9999/synth.' || CAST(b.doc_id + 1 AS VARCHAR)
+         END) AS related_joined,
+  'heading:Research Article,Discipline-v3:Discipline'
+    || CAST(b.doc_id % 8 AS VARCHAR) || '/Sub'
+    || CAST(b.doc_id % 20 AS VARCHAR) AS taxonomy_joined,
+  CAST(b.doc_id % 4 AS INT) AS fig_count,
+  CAST(b.doc_id % 3 AS INT) AS table_count,
+  CAST(5 + b.doc_id % 20 AS INT) AS page_count,
+  CAST(6 + b.doc_id % 5 AS INT) AS word_count,
+  'Abstract of study ' || CAST(b.doc_id AS VARCHAR) || ': '
+    || CAST(b.doc_id % 7 AS VARCHAR) || ' parameters considered.' AS abstract,
+  'open-access' AS license_type,
+  'https://creativecommons.org/licenses/by/'
+    || CASE WHEN b.doc_id % 2 = 0 THEN '3' ELSE '4' END || '.0/' AS license_href
+FROM base b JOIN affs a ON a.doc_id = b.doc_id
+JOIN author_affs aa ON aa.doc_id = b.doc_id
+"""
+
+
 def _q_sub_articles_explode(spark, sf_dir):
     """U6/X19 sub-article explode + F8 acceptance-letter filter + X9/W3 id
     generation + J5 parent linkage, end to end."""
@@ -1154,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_lsh,
         "jats_parse_roundtrip": _q_jats_parse,
+        "jats_parse_extended": _q_jats_parse_extended,
+        "html_clean": _q_html_clean,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
         "f_filters_battery": _q_f_filters,
@@ -1197,6 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _sql_ann_topk(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "jats_parse_roundtrip": _SQL_JATS_PARSE,
+        "jats_parse_extended": _SQL_JATS_EXT,
+        "html_clean": _SQL_HTML_CLEAN,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,
         "f_filters_battery": _SQL_F_FILTERS,

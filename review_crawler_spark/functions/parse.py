@@ -34,8 +34,26 @@ ARTICLE_OUT_SCHEMA = (
     "sub_articles array<struct<id:string, original_article_doi:string, "
     "type:string, specific_use:string, round:int, "
     "reviewers:array<struct<number:int, name:string>>>>, "
+    # J3/X20: rid→institution resolution (rarticle.py:351-382,647-672)
+    "affiliations array<string>, author_affiliations array<string>, "
+    # J4: corresponding-author emails keyed by corresp id or initials
+    # (rarticle.py:417-512,691-721)
+    "corr_email_keys array<string>, corr_emails array<string>, "
+    "corr_author_surname string, "
+    # X13: history dates + order sanity (rarticle.py:233-330)
+    "received_date string, accepted_date string, dates_in_order boolean, "
+    # X17: related-article dict flattened 'type|doi' (rarticle.py:738-767)
+    "related_dois array<string>, "
+    # taxonomy 'group_type:subject/subsubject' (rarticle.py:875-900)
+    "taxonomy array<string>, "
+    # A8: fig/table/page counts with xpath fallback + body word count
+    # (rarticle.py:1311-1355)
+    "fig_count int, table_count int, page_count int, word_count int, "
+    "abstract string, license_type string, license_href string, "
     "parse_error string"
 )
+
+_XLINK_HREF = "{http://www.w3.org/1999/xlink}href"
 
 HTML_OUT_SCHEMA = (
     "doc_id bigint, title string, doi string, journal_title string, "
@@ -85,6 +103,145 @@ def parse_jats(data: bytes) -> dict:
         meta.find('./related-article[@related-article-type="retracted-article"]')
         is not None
     )
+
+    # ---- J3/X20: affiliation dict + contributor→institution resolution
+    # (rarticle.py get_aff_dict :351-382; contributors :647-672). Both aff
+    # shapes handled: <addr-line>-wrapped and bare text.
+    aff_dict: dict[str, str] = {}
+    for aff in meta.findall("./aff"):
+        addr = aff.find("./addr-line")
+        if addr is not None and addr.text:
+            aff_dict[aff.get("id")] = " ".join(
+                s.strip() for s in addr.text.splitlines()
+            )
+        elif aff.text:
+            aff_dict[aff.get("id")] = (
+                aff.text.replace("\n", "").replace("\r", "").replace("\t", "")
+            )
+    affiliations = list(aff_dict.values())
+
+    contribs = meta.findall('./contrib-group/contrib[@contrib-type="author"]')
+    author_affiliations = []
+    corr_rid_author = None  # surname of the contributor xref'd to <corresp>
+    initials_index: dict[str, list[str]] = {}
+    for c in contribs:
+        giv = c.findtext("./name/given-names") or ""
+        fam = c.findtext("./name/surname") or ""
+        affs = [
+            aff_dict.get(x.get("rid"), "")
+            for x in c.findall('./xref[@ref-type="aff"]')
+        ]
+        author_affiliations.append("; ".join(affs))
+        if c.find('./xref[@ref-type="corresp"]') is not None:
+            corr_rid_author = fam
+        if giv and fam:
+            initials_index.setdefault(giv[0] + fam[0], []).append(fam)
+
+    # ---- J4: corresponding-author emails keyed by corresp id or by the
+    # initials in the email's tail text (rarticle.py get_corr_author_emails
+    # :417-512 — the two shapes synthetic corpora produce; the reference's
+    # further branches cover comma-separated multi-email tails).
+    corr_emails_map: dict[str, list[str]] = {}
+    corresp = meta.find("./author-notes/corresp")
+    if corresp is not None:
+        for item in corresp:
+            if item.tag != "email" or not item.text:
+                continue
+            tail_key = re.sub(r"[^a-zA-Z0-9=]", "", item.tail or "")
+            key = tail_key if tail_key else (corresp.get("id") or "cor001")
+            corr_emails_map.setdefault(key, []).append(item.text)
+    # match email key back to an author: unique-initials match first, else
+    # the contributor carrying the corresp xref (rarticle.py:691-721)
+    corr_author_surname = None
+    for key in corr_emails_map:
+        hit = initials_index.get(key)
+        if hit and len(hit) == 1:
+            corr_author_surname = hit[0]
+            break
+    if corr_author_surname is None:
+        corr_author_surname = corr_rid_author
+
+    # ---- X13: history dates (rarticle.py get_dates :233-301) + the
+    # received ≤ accepted ≤ epub sanity of dates_debug (:303-330)
+    def _hist_date(date_type):
+        el = meta.find(f'./history/date[@date-type="{date_type}"]')
+        if el is None:
+            return None
+        y, m, d = _int(el.findtext("year")), _int(el.findtext("month")), _int(
+            el.findtext("day")
+        )
+        if y is None or m is None or d is None:
+            return None
+        return f"{y:04d}-{m:02d}-{d:02d}"
+
+    received_date = _hist_date("received")
+    accepted_date = _hist_date("accepted")
+    epub_str = (
+        f"{year:04d}-{month:02d}-{day or 1:02d}" if year and month else None
+    )
+    dates_in_order = True
+    if received_date and accepted_date and epub_str:
+        dates_in_order = received_date <= accepted_date <= epub_str
+    elif received_date and epub_str:
+        dates_in_order = received_date <= epub_str
+    elif accepted_date and epub_str:
+        dates_in_order = accepted_date <= epub_str
+
+    # ---- X17: related-article type→DOI dict, flattened 'type|doi' in
+    # document order (rarticle.py get_related_dois :738-767; their
+    # lstrip('info:doi/') is a char-set strip — removeprefix is the intended
+    # semantics and matches for PLOS DOIs, which start with '1')
+    related_dois = []
+    for rel in meta.findall("./related-article"):
+        href = rel.get(_XLINK_HREF)
+        if href is None:
+            continue
+        if href.startswith("info:doi/"):
+            href = href[len("info:doi/"):]
+        related_dois.append(f"{rel.get('related-article-type')}|{href}")
+
+    # ---- taxonomy: subj-group type → nested subject chain
+    # (rarticle.py taxonomy :875-900 — tuple(e.text for e in subj.iter()))
+    taxonomy = []
+    cats = meta.find("./article-categories")
+    if cats is not None:
+        for sg in cats.findall("./subj-group"):
+            gtype = sg.get("subj-group-type") or "No subject"
+            chain = "/".join(s.text or "" for s in sg.iter("subject"))
+            taxonomy.append(f"{gtype}:{chain}")
+
+    # ---- A8: counts with xpath fallback (rarticle.py counts :1311-1341)
+    counts: dict[str, int] = {}
+    counts_el = meta.find("./counts")
+    if counts_el is not None:
+        for item in counts_el:
+            v = _int(item.get("count"))
+            if v is not None:
+                counts[item.tag] = v
+    if "fig-count" not in counts:
+        counts["fig-count"] = len(root.findall(".//fig"))
+    if "table-count" not in counts:
+        counts["table-count"] = len(root.findall(".//table-wrap"))
+
+    # ---- word count over body text (rarticle.py word_count :1343-1355)
+    body = root.find("./body")
+    word_count = 0
+    if body is not None:
+        body_text = "".join(body.itertext())
+        word_count = len(body_text.split(" "))
+
+    # ---- abstract (rarticle.py abstract :1180-1207): attribute-less
+    # <abstract>, text-serialized then whitespace-scrubbed
+    abstract = None
+    for ab in meta.findall("./abstract"):
+        if not ab.attrib:
+            abstract = "".join(ab.itertext()).strip().replace("  ", "")
+            break
+
+    # ---- license (rarticle.py license :1062-1066)
+    lic = meta.find("./permissions/license")
+    license_type = lic.get("license-type") if lic is not None else None
+    license_href = lic.get(_XLINK_HREF) if lic is not None else None
 
     subs = []
     counters: dict[str, int] = {}
@@ -138,6 +295,25 @@ def parse_jats(data: bytes) -> dict:
         "has_reviews": len(subs) > 0,
         "n_sub_articles": len(subs),
         "sub_articles": subs,
+        "affiliations": affiliations,
+        "author_affiliations": author_affiliations,
+        "corr_email_keys": sorted(corr_emails_map),
+        "corr_emails": sorted(
+            e for v in corr_emails_map.values() for e in v
+        ),
+        "corr_author_surname": corr_author_surname,
+        "received_date": received_date,
+        "accepted_date": accepted_date,
+        "dates_in_order": dates_in_order,
+        "related_dois": related_dois,
+        "taxonomy": taxonomy,
+        "fig_count": counts.get("fig-count"),
+        "table_count": counts.get("table-count"),
+        "page_count": counts.get("page-count"),
+        "word_count": word_count,
+        "abstract": abstract,
+        "license_type": license_type,
+        "license_href": license_href,
     }
 
 
@@ -150,6 +326,14 @@ def parse_jats_udf(corpus: DataFrame, id_col: str = "doc_id", bytes_col: str = "
         "issue": None, "pub_year": None, "pub_month": None, "pub_day": None,
         "keywords": None, "retracted": None, "has_reviews": None,
         "n_sub_articles": None, "sub_articles": None,
+        "affiliations": None, "author_affiliations": None,
+        "corr_email_keys": None, "corr_emails": None,
+        "corr_author_surname": None, "received_date": None,
+        "accepted_date": None, "dates_in_order": None,
+        "related_dois": None, "taxonomy": None,
+        "fig_count": None, "table_count": None, "page_count": None,
+        "word_count": None, "abstract": None, "license_type": None,
+        "license_href": None,
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -13,7 +13,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .jats import make_jats_xml, make_mdpi_html, make_review_html
+from .jats import make_dirty_html, make_jats_xml, make_mdpi_html, make_review_html
 
 
 def jats_corpus(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -40,6 +40,21 @@ def html_corpus(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "html": [make_mdpi_html(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema="doc_id bigint, html string")
+
+
+def dirty_html_corpus(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids(doc_id) → pages with script/style/comment junk injected (S9)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "html": [make_dirty_html(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -40,8 +40,147 @@ def n_authors_of(article_id: int) -> int:
     return 1 + article_id % 4
 
 
+def given_of(article_id: int, i: int) -> str:
+    # distinct first letter per author within an article so contrib initials
+    # (given[0]+surname[0]) are unique — exercises the reference's
+    # initials-keyed email match (rarticle.py:417-512)
+    return f"{chr(65 + (article_id + i) % 26)}iven{article_id}"
+
+
+def surname_of(article_id: int, i: int) -> str:
+    return f"Family{article_id}_{i}"
+
+
 def authors_of(article_id: int) -> list[str]:
-    return [f"Given{article_id} Family{article_id}_{i}" for i in range(n_authors_of(article_id))]
+    return [
+        f"{given_of(article_id, i)} {surname_of(article_id, i)}"
+        for i in range(n_authors_of(article_id))
+    ]
+
+
+def initials_of(article_id: int, i: int) -> str:
+    return given_of(article_id, i)[0] + surname_of(article_id, i)[0]
+
+
+# -- affiliations (J3/X20: rid → institution, rarticle.py:351-382,647-672)
+
+def n_affs_of(article_id: int) -> int:
+    return 1 + article_id % 3
+
+
+def aff_text_of(article_id: int, j: int) -> str:
+    return f"Institute {(article_id * 7 + j) % 25}, City {(article_id + j) % 9}"
+
+
+def author_aff_idx(article_id: int, i: int) -> int:
+    """0-based affiliation index of author i (rid = aff{idx+1})."""
+    return (article_id + i) % n_affs_of(article_id)
+
+
+# -- corresponding author + emails (J4, rarticle.py:417-512,691-721)
+
+def corr_author_idx(article_id: int) -> int:
+    return article_id % n_authors_of(article_id)
+
+
+def corr_email_of(article_id: int) -> str:
+    return f"corr{article_id}@example{article_id % 5}.org"
+
+
+def email_keyed_by_initials(article_id: int) -> bool:
+    """Every 4th article writes the corr email with a trailing-initials tail
+    (the reference's multi-corresponding-author shape); the rest key by the
+    <corresp> element id."""
+    return article_id % 4 == 0
+
+
+# -- history dates (X13, rarticle.py:233-330)
+
+def epub_base_date(article_id: int):
+    import datetime as _dt
+
+    return _dt.date(
+        pub_year_of(article_id),
+        pub_month_of(article_id),
+        pub_day_of(article_id) or 1,
+    )
+
+
+def received_date_of(article_id: int):
+    import datetime as _dt
+
+    return epub_base_date(article_id) - _dt.timedelta(days=30 + article_id % 60)
+
+
+def dates_misordered(article_id: int) -> bool:
+    return article_id % 37 == 0
+
+
+def accepted_date_of(article_id: int):
+    import datetime as _dt
+
+    base = epub_base_date(article_id)
+    if dates_misordered(article_id):
+        return base + _dt.timedelta(days=3)  # accepted after epub → sanity fail
+    return base - _dt.timedelta(days=article_id % 30)
+
+
+# -- related articles (X17, rarticle.py:738-767)
+
+def has_companion_of(article_id: int) -> bool:
+    return article_id % 6 == 0
+
+
+def companion_doi_of(article_id: int) -> str:
+    return f"10.9999/synth.{article_id + 1}"
+
+
+# -- taxonomy (rarticle.py:875-900)
+
+def discipline_of(article_id: int) -> str:
+    return f"Discipline{article_id % 8}"
+
+
+def subdiscipline_of(article_id: int) -> str:
+    return f"Sub{article_id % 20}"
+
+
+# -- counts (A8, rarticle.py:1311-1355)
+
+def page_count_of(article_id: int) -> int:
+    return 5 + article_id % 20
+
+
+def fig_count_of(article_id: int) -> int:
+    return article_id % 4
+
+
+def table_count_of(article_id: int) -> int:
+    return article_id % 3
+
+
+def counts_element_present(article_id: int) -> bool:
+    """Odd articles carry explicit fig-count/table-count elements; even ones
+    omit them so the parser must fall back to counting //fig and
+    //table-wrap (mirrors rarticle.py:1338-1341)."""
+    return article_id % 2 == 1
+
+
+def word_count_of(article_id: int) -> int:
+    # body text = "Synthetic body text for article {a}." (6 words) + extras
+    return 6 + article_id % 5
+
+
+def abstract_of(article_id: int) -> str:
+    return (
+        f"Abstract of study {article_id}: {article_id % 7} parameters "
+        "considered."
+    )
+
+
+def license_href_of(article_id: int) -> str:
+    major = 4 if article_id % 2 else 3
+    return f"https://creativecommons.org/licenses/by/{major}.0/"
 
 
 def journal_abbrev_of(article_id: int) -> str:
@@ -109,22 +248,93 @@ def n_reviewers_of(article_id: int, rnd: int) -> int:
 
 def make_jats_xml(article_id: int) -> bytes:
     a = article_id
+    corr_i = corr_author_idx(a)
     authors = "".join(
         f"<contrib contrib-type=\"author\"><name>"
-        f"<surname>Family{a}_{i}</surname><given-names>Given{a}</given-names>"
-        f"</name></contrib>"
+        f"<surname>{surname_of(a, i)}</surname>"
+        f"<given-names>{given_of(a, i)}</given-names>"
+        f"</name>"
+        f'<xref ref-type="aff" rid="aff{author_aff_idx(a, i) + 1}"/>'
+        + ('<xref ref-type="corresp" rid="cor1"/>' if i == corr_i else "")
+        + "</contrib>"
         for i in range(n_authors_of(a))
     )
+    # half wrapped in addr-line, half bare text — both shapes the reference's
+    # get_aff_dict handles (rarticle.py:351-382)
+    affs = "".join(
+        (
+            f'<aff id="aff{j + 1}"><addr-line>{aff_text_of(a, j)}</addr-line></aff>'
+            if (a + j) % 2 == 0
+            else f'<aff id="aff{j + 1}">{aff_text_of(a, j)}</aff>'
+        )
+        for j in range(n_affs_of(a))
+    )
+    if email_keyed_by_initials(a):
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"<email>{corr_email_of(a)}</email> {initials_of(a, corr_i)}"
+            "</corresp></author-notes>"
+        )
+    else:
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"<email>{corr_email_of(a)}</email>"
+            "</corresp></author-notes>"
+        )
+    received = received_date_of(a)
+    accepted = accepted_date_of(a)
+    history = (
+        "<history>"
+        f'<date date-type="received"><day>{received.day}</day>'
+        f"<month>{received.month}</month><year>{received.year}</year></date>"
+        f'<date date-type="accepted"><day>{accepted.day}</day>'
+        f"<month>{accepted.month}</month><year>{accepted.year}</year></date>"
+        "</history>"
+    )
+    categories = (
+        "<article-categories>"
+        '<subj-group subj-group-type="heading">'
+        "<subject>Research Article</subject></subj-group>"
+        '<subj-group subj-group-type="Discipline-v3">'
+        f"<subject>{discipline_of(a)}</subject>"
+        f"<subj-group><subject>{subdiscipline_of(a)}</subject></subj-group>"
+        "</subj-group>"
+        "</article-categories>"
+    )
+    counts_xml = (
+        "<counts>"
+        + (
+            f'<fig-count count="{fig_count_of(a)}"/>'
+            f'<table-count count="{table_count_of(a)}"/>'
+            if counts_element_present(a)
+            else ""
+        )
+        + f'<page-count count="{page_count_of(a)}"/>'
+        "</counts>"
+    )
+    permissions = (
+        f"<permissions><copyright-year>{pub_year_of(a)}</copyright-year>"
+        f'<license license-type="open-access" '
+        f'xlink:href="{license_href_of(a)}">'
+        "<license-p>Creative Commons</license-p></license></permissions>"
+    )
+    abstract_xml = f"<abstract><p>{escape(abstract_of(a))}</p></abstract>"
     kwds = "".join(f"<kwd>{k}</kwd>" for k in keywords_of(a))
     day = pub_day_of(a)
     day_xml = f"<day>{day}</day>" if day is not None else ""
     issue = issue_of(a)
     issue_xml = f"<issue>{issue}</issue>" if issue is not None else ""
     retract_xml = (
-        '<related-article related-article-type="retracted-article"/>'
+        '<related-article related-article-type="retracted-article" '
+        f'xlink:href="info:doi/10.9999/synth.{a}"/>'
         if retracted_of(a)
         else ""
     )
+    if has_companion_of(a):
+        retract_xml += (
+            '<related-article related-article-type="companion" '
+            f'xlink:href="info:doi/{companion_doi_of(a)}"/>'
+        )
 
     subs = []
     sub_idx = 0
@@ -161,9 +371,16 @@ def make_jats_xml(article_id: int) -> bytes:
             f"</title-group></front-stub></sub-article>"
         )
 
+    body_inner = (
+        f"<p>Synthetic body text for article {a}."
+        + "".join(f" extra{w}" for w in range(a % 5))
+        + "</p>"
+        + "".join(f'<fig id="f{k}"/>' for k in range(fig_count_of(a)))
+        + "".join(f'<table-wrap id="t{k}"/>' for k in range(table_count_of(a)))
+    )
     xml = (
         '<?xml version="1.0" encoding="UTF-8"?>'
-        "<article>"
+        '<article xmlns:xlink="http://www.w3.org/1999/xlink">'
         "<front>"
         "<journal-meta>"
         f"<journal-id journal-id-type=\"publisher\">{journal_abbrev_of(a)}</journal-id>"
@@ -171,16 +388,23 @@ def make_jats_xml(article_id: int) -> bytes:
         "</journal-meta>"
         "<article-meta>"
         f'<article-id pub-id-type="doi">10.9999/synth.{a}</article-id>'
+        f"{categories}"
         f"<title-group><article-title>{escape(title_of(a))}</article-title></title-group>"
         f"<contrib-group>{authors}</contrib-group>"
+        f"{affs}"
+        f"{corresp}"
         f'<pub-date pub-type="epub"><year>{pub_year_of(a)}</year>'
         f"<month>{pub_month_of(a)}</month>{day_xml}</pub-date>"
         f"<volume>{volume_of(a)}</volume>{issue_xml}"
+        f"{history}"
+        f"{permissions}"
+        f"{abstract_xml}"
         f"<kwd-group>{kwds}</kwd-group>"
         f"{retract_xml}"
+        f"{counts_xml}"
         "</article-meta>"
         "</front>"
-        "<body><p>Synthetic body text for article {0}.</p></body>".format(a)
+        f"<body>{body_inner}</body>"
         + "".join(subs)
         + "</article>"
     )
@@ -212,6 +436,28 @@ def make_review_html(article_id: int) -> str:
             )
     parts.append("</body></html>")
     return "".join(parts)
+
+
+def make_dirty_html(article_id: int) -> str:
+    """make_mdpi_html plus the junk real pages carry — script/style/
+    noscript/link/rect subtrees and comments at fixed positions. Built so
+    that clean_html(make_dirty_html(a)) == make_mdpi_html(a) exactly, which
+    gives the S9 cleaner a closed-form whole-page oracle."""
+    a = article_id
+    clean = make_mdpi_html(a)
+    head_junk = (
+        f"<script type=\"text/javascript\">var trk={a};</script>"
+        f"<style>.c{a} {{ color: red }}</style>"
+        f'<link rel="stylesheet" href="/static/{a}.css">'
+        f"<!-- render id {a} -->"
+    )
+    body_junk = (
+        f"<noscript>enable js {a}</noscript>"
+        f'<rect width="{a}" height="4"/>'
+        f"<script>track({a});</script>"
+    )
+    dirty = clean.replace("<head>", "<head>" + head_junk, 1)
+    return dirty.replace("</body>", body_junk + "</body>", 1)
 
 
 # ------------------------------------------------------------- HTML writer

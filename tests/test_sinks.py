@@ -103,3 +103,77 @@ def test_merge_upsert(spark, tmp_path):
     cur = merge_upsert(spark, table, updates, "doi")
     got = {r["doi"]: r["title"] for r in cur.collect()}
     assert got == {1: "old-1", 2: "new-2", 3: "new-3"}
+
+
+def test_merge_upsert_prunes_untouched_buckets(spark, tmp_path):
+    """A merge rewrites only buckets containing update keys; untouched
+    buckets keep their exact files (manifest references them in place)."""
+    import glob
+    import json
+    import os
+
+    table = str(tmp_path / "bucketed")
+    base = spark.createDataFrame(
+        [(k, f"old-{k}") for k in range(40)], "doi long, title string"
+    )
+    merge_upsert(spark, table, base, "doi", num_buckets=8)
+    with open(os.path.join(table, "_current")) as f:
+        m0 = json.load(f)
+
+    # one-key update → exactly one bucket rewritten
+    upd = spark.createDataFrame([(7, "new-7")], "doi long, title string")
+    before = {
+        p: open(p, "rb").read()
+        for rel in m0["buckets"].values()
+        for p in glob.glob(os.path.join(table, rel, "*.parquet"))
+    }
+    cur = merge_upsert(spark, table, upd, "doi", num_buckets=8)
+    with open(os.path.join(table, "_current")) as f:
+        m1 = json.load(f)
+
+    changed = [b for b in m1["buckets"] if m1["buckets"][b] != m0["buckets"][b]]
+    assert len(changed) == 1  # only the bucket holding doi=7
+    for b, rel in m1["buckets"].items():
+        if b in changed:
+            continue
+        for p in glob.glob(os.path.join(table, rel, "*.parquet")):
+            assert open(p, "rb").read() == before[p]  # byte-identical
+
+    got = {r["doi"]: r["title"] for r in cur.collect()}
+    assert got[7] == "new-7" and got[6] == "old-6" and len(got) == 40
+
+
+def test_validated_json_sink_accepts_good_rejects_bad(spark, tmp_path):
+    """X23: exported JSON is validated against the article schema as a
+    post-write gate (the reference's dormant validator, utils.py:58-64,
+    json_schema/article_schema.json) — a violating row blocks the publish."""
+    import os
+
+    import pytest as _pytest
+
+    from review_crawler_spark.sources.json_schema import (
+        ARTICLE_EXPORT_SCHEMA,
+        validated_write_json,
+    )
+
+    good = spark.createDataFrame(
+        [("T", ["A B"], "https://doi.org/10.9999/x", "J", 2020, ["k"], False, True, 3)],
+        "title string, authors array<string>, doi string, journal_title string, "
+        "pub_year int, keywords array<string>, retracted boolean, "
+        "has_reviews boolean, volume int",
+    )
+    out = str(tmp_path / "articles_json")
+    validated_write_json(good, out, ARTICLE_EXPORT_SCHEMA)
+    assert os.path.exists(out) and not os.path.exists(out + ".staging")
+    assert spark.read.json(out).count() == 1
+
+    # missing required 'doi' and wrong type for pub_year → rejected
+    bad = spark.createDataFrame(
+        [("T", ["A B"], "J", "notayear", ["k"], False, True)],
+        "title string, authors array<string>, journal_title string, "
+        "pub_year string, keywords array<string>, retracted boolean, "
+        "has_reviews boolean",
+    )
+    with _pytest.raises(ValueError, match="schema validation failed"):
+        validated_write_json(bad, str(tmp_path / "bad_json"), ARTICLE_EXPORT_SCHEMA)
+    assert not os.path.exists(str(tmp_path / "bad_json"))

@@ -141,3 +141,37 @@ def test_rate_limited_schedule_stateful(spark, tmp_path):
     write_batch("b3", 20)
     rows = run_once()
     assert len(rows) == 8 + 3 + 13
+
+
+def test_admit_batch_epoch_replay_exactly_once(spark, tmp_path):
+    """Round-1 ADVICE (medium): a batch that completed both the admitted and
+    url_seen writes but crashed before the streaming checkpoint commits is
+    REPLAYED by Structured Streaming. The replay must reproduce the same
+    admitted output — not anti-join against its own url_seen partition and
+    overwrite admitted/epoch=N with an empty dataset."""
+    from review_crawler_spark.streaming.stream import admit_batch
+
+    seen = tmp_path / "seen"
+    admitted = tmp_path / "admitted"
+
+    b1 = _batch(
+        spark,
+        [("https://a.com/x", T0, 5, 1, 1), ("https://b.com/y", T0, 3, 1, 2)],
+    )
+    admit_batch(b1, 0, str(seen), str(admitted))
+    b2 = _batch(
+        spark,
+        [("https://a.com/x", T0, 5, 1, 3), ("https://c.com/z", T0, 9, 1, 4)],
+    )
+    admit_batch(b2, 1, str(seen), str(admitted))
+    out = spark.read.parquet(str(admitted) + "/epoch=*")
+    assert {r["canonical_url"] for r in out.collect()} == {
+        "https://a.com/x", "https://b.com/y", "https://c.com/z",
+    }
+
+    # crash-replay of epoch 1: url_seen/epoch=1 already exists
+    admit_batch(b2, 1, str(seen), str(admitted))
+    replay = spark.read.parquet(str(admitted) + "/epoch=1")
+    assert {r["canonical_url"] for r in replay.collect()} == {"https://c.com/z"}
+    out = spark.read.parquet(str(admitted) + "/epoch=*")
+    assert out.count() == 3  # exactly-once across the replay
