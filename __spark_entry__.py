@@ -919,18 +919,23 @@ WITH reviewed AS (
   SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_rounds
   FROM documents WHERE doc_id % 3 = 0
 ), rounds AS (
-  SELECT doc_id, CAST(unnest(generate_series(1, n_rounds)) AS INT) AS rnd
+  -- sub-article ids derive from the sub-article DOI suffix: every 27th
+  -- article numbers sparsely (r2, r4, ...) per sub_doi_num in jats.py
+  SELECT doc_id, CAST(unnest(generate_series(1, n_rounds)) AS INT) AS rnd,
+         CAST(CASE WHEN doc_id % 27 = 0
+              THEN 2 * unnest(generate_series(1, n_rounds))
+              ELSE unnest(generate_series(1, n_rounds)) END AS INT) AS num
   FROM reviewed
 )
 SELECT doc_id,
-       'synth.' || CAST(doc_id AS VARCHAR) || '.r' || CAST(rnd AS VARCHAR) AS sub_id,
+       'synth.' || CAST(doc_id AS VARCHAR) || '.r' || CAST(num AS VARCHAR) AS sub_id,
        'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR)
          AS original_article_doi,
        'aggregated-review-documents' AS sub_type, rnd AS round
 FROM rounds
 UNION ALL
 SELECT doc_id,
-       'synth.' || CAST(doc_id AS VARCHAR) || '.a' || CAST(rnd AS VARCHAR),
+       'synth.' || CAST(doc_id AS VARCHAR) || '.a' || CAST(num AS VARCHAR),
        'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR),
        'author-comment', rnd
 FROM rounds

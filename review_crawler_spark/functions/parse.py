@@ -257,15 +257,24 @@ def parse_jats(data: bytes) -> dict:
                     "name": rc.findtext("./name/surname"),
                 }
             )
-        # id generation '<short>.r{N}' / '.a{N}' / '.x{N}'
-        # (plos_crawler.py:84-90 semantics)
+        # id generation '<short>.r{N}' / '.a{N}' / '.x{N}': N comes from the
+        # sub-article's OWN DOI suffix when present (plos_crawler.py:84-90 —
+        # the reference rsplits the short doi on '.' and reads int(suffix[1:])),
+        # falling back to a per-kind document-order counter for sub-articles
+        # without an article-id (eLife style).
         kind = {"aggregated-review-documents": "r", "author-comment": "a"}.get(
             sa_type, "x"
         )
         counters[kind] = counters.get(kind, 0) + 1
+        n = counters[kind]
+        sub_doi = sa.findtext('./front-stub/article-id[@pub-id-type="doi"]')
+        if sub_doi:
+            splat = sub_doi.strip().rsplit("/", 1)[-1].rsplit(".", 1)
+            if len(splat) == 2 and splat[1][1:].isdigit():
+                n = int(splat[1][1:])
         subs.append(
             {
-                "id": f"{short_doi}.{kind}{counters[kind]}",
+                "id": f"{short_doi}.{kind}{n}",
                 "original_article_doi": doi,
                 "type": sa_type,
                 "specific_use": specific_use,

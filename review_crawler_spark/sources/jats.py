@@ -244,6 +244,14 @@ def n_reviewers_of(article_id: int, rnd: int) -> int:
     return 1 + (article_id + rnd) % 2
 
 
+def sub_doi_num(article_id: int, rnd: int) -> int:
+    """Sub-article DOI suffix number. Every 27th article numbers its
+    sub-article DOIs sparsely (r2, r4, …) — the case where the reference's
+    derive-N-from-DOI-suffix rule (plos_crawler.py:84-90) diverges from
+    naive document-order counters."""
+    return rnd * 2 if article_id % 27 == 0 else rnd
+
+
 # ------------------------------------------------------------- JATS writer
 
 def make_jats_xml(article_id: int) -> bytes:
@@ -345,9 +353,11 @@ def make_jats_xml(article_id: int) -> bytes:
             f"<xref>{n}</xref></contrib>"
             for n in range(1, n_reviewers_of(a, rnd) + 1)
         )
+        num = sub_doi_num(a, rnd)
         subs.append(
             f'<sub-article article-type="aggregated-review-documents" id="sa{sub_idx}">'
             f"<front-stub>"
+            f'<article-id pub-id-type="doi">10.9999/synth.{a}.r{num}</article-id>'
             f"<title-group><article-title>Review round {rnd}</article-title></title-group>"
             f"<contrib-group>{reviewers}</contrib-group>"
             f"<custom-meta-group><custom-meta><meta-name>round</meta-name>"
@@ -358,6 +368,7 @@ def make_jats_xml(article_id: int) -> bytes:
         subs.append(
             f'<sub-article article-type="author-comment" id="sa{sub_idx}">'
             f"<front-stub>"
+            f'<article-id pub-id-type="doi">10.9999/synth.{a}.a{num}</article-id>'
             f"<title-group><article-title>Author response {rnd}</article-title></title-group>"
             f"<custom-meta-group><custom-meta><meta-name>round</meta-name>"
             f"<meta-value>{rnd}</meta-value></custom-meta></custom-meta-group>"
@@ -367,7 +378,9 @@ def make_jats_xml(article_id: int) -> bytes:
     if has_acceptance_letter(a):
         subs.append(
             f'<sub-article article-type="editor-report" specific-use="acceptance-letter" id="sa{sub_idx}">'
-            f"<front-stub><title-group><article-title>Acceptance letter</article-title>"
+            f"<front-stub>"
+            f'<article-id pub-id-type="doi">10.9999/synth.{a}.x1</article-id>'
+            f"<title-group><article-title>Acceptance letter</article-title>"
             f"</title-group></front-stub></sub-article>"
         )
 
