@@ -167,14 +167,24 @@ def bench_engine_waves(
     return dt, total
 
 
-def bench_query(spark, name: str) -> float:
+def bench_query(spark, name: str, runs: int = 2) -> float:
+    """Best-of-N wall for one query (noop sink, full execution).
+
+    Best-of-2 because this host's page-fault stalls intermittently inflate
+    single runs 3-5× (see BENCH_SCALING.md diagnosis); the minimum is the
+    least-stalled estimate and the second run also reflects the plan-cache /
+    page-cache state a warm cluster would have.
+    """
     import __spark_entry__ as entrymod
 
     fn = entrymod.queries()[name]
-    t0 = time.time()
-    df = fn(spark, SF_DIR)
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def bench_image_decode(spark, n: int = 20_000) -> float:
@@ -201,6 +211,9 @@ def run_bench(cpus: int) -> dict:
         "ann_topk": round(bench_query(spark, "ann_topk"), 3),
         "sessionize": round(bench_query(spark, "sessionize"), 3),
         "minhash_lsh_pairs": round(bench_query(spark, "minhash_lsh_pairs"), 3),
+        "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
+        "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
+        "html_clean": round(bench_query(spark, "html_clean"), 3),
         "image_decode_20k": round(bench_image_decode(spark), 3),
     }
     frontier_s, n_out = bench_frontier_pipeline(spark, FRONTIER_N)
@@ -274,8 +287,9 @@ def main() -> None:
         res = {"cpus": cpus, "sec": round(min(times), 3), "runs": [round(t, 3) for t in times],
                "cpu_sec": (min(cpus_used) if cpus_used else None),
                "scheduled_out": n_out}
-        print("CHILD_RESULT " + json.dumps(res))
+        print("CHILD_RESULT " + json.dumps(res), flush=True)
         _merge_into_state({cpus: res})
+        spark.stop()  # don't leave a lingering JVM polluting the next run
         return
 
     if "--scaling-executors" in sys.argv:
@@ -345,7 +359,12 @@ def main() -> None:
         spark = build_session(cpus)
         spark.range(1).count()
         dt, n_out = bench_frontier_pipeline(spark, SCALING_N)
-        print("ONCE_RESULT " + json.dumps({"cpus": cpus, "sec": round(dt, 3)}))
+        print("ONCE_RESULT " + json.dumps({"cpus": cpus, "sec": round(dt, 3)}),
+              flush=True)
+        # stop the JVM explicitly: a pyspark JVM can linger for minutes
+        # after the python process exits, and a lingering 4-core JVM
+        # poisons every subsequent scaling measurement on this box
+        spark.stop()
         return
 
     if "--scaling" in sys.argv:

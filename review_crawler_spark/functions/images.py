@@ -65,11 +65,18 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     return pixels.astype(np.uint8), fmt
 
 
-def decode_real(data: bytes) -> np.ndarray:
-    """Real PNG/JPEG decode — requires PIL, absent in this container."""
+def decode_real(data: bytes) -> tuple[np.ndarray, str]:
+    """Real PNG/JPEG decode — requires PIL, absent in this container.
+
+    Production deployments pass ``decoder=decode_real`` (backed by
+    PIL/libjpeg-turbo) to :func:`decode_images`; the Spark plumbing is
+    identical for any ``bytes -> (pixels, fmt)`` decoder — the injection
+    seam is integration-tested with a fake third-party decoder in
+    tests/test_images.py.
+    """
     raise NotImplementedError(
-        "PIL/libjpeg not available in the sandbox; production deployments "
-        "plug a real decoder in here — the Spark plumbing is identical."
+        "PIL/libjpeg not available in the sandbox; plug a real decoder into "
+        "decode_images(decoder=...) — the Spark plumbing is identical."
     )
 
 
@@ -98,8 +105,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def decode_images(df: DataFrame, decoder=decode_image) -> DataFrame:
     """U5 batch image decode: mapInPandas over the images table.
+
+    ``decoder`` is the codec seam: any ``bytes -> (pixels (h,w,3) uint8,
+    fmt str)`` callable — the deterministic sandbox codec by default,
+    ``decode_real`` (PIL-backed) in production. The callable is closed over
+    by the Arrow batch function and shipped to executors like any UDF
+    dependency.
 
     Emits per-row decode status + recomputed phash; UDF never throws — bad
     bytes produce ``decode_error`` rows (mirrors the reference's in-loop
@@ -121,7 +134,7 @@ def decode_images(df: DataFrame) -> DataFrame:
             }
             for data, fmt_c, ph in zip(pdf["bytes"], pdf["fmt"], pdf["phash"]):
                 try:
-                    px, fmt_d = decode_image(bytes(data))
+                    px, fmt_d = decoder(bytes(data))
                     out["phash"].append(average_phash(px))
                     out["pixels_ok"].append(fmt_d == fmt_c)
                     out["mean_px"].append(float(px.mean()))

@@ -10,11 +10,10 @@ Scale notes (100 TB):
 - exact dedup: one shuffle on the 128-bit digest; map-side partial agg
   applies; digest is computed in the scan projection so only (digest, id)
   shuffles, never the text.
-- minhash-LSH: signatures are per-row array ops (no shuffle); the only
-  shuffle is the band-bucket self-join, whose fan-out is controlled by
-  (bands, rows-per-band); AQE skew-join splits hot buckets (empty-text
-  buckets are filtered before the join for exactly that reason).
-- verification joins re-read only candidate pairs' shingle sets.
+- minhash-LSH: shingles explode to rows and hash as codegen'd scalars with
+  map-side partial min() aggregation — shuffle volume is docs × lanes longs;
+  candidate pairs come from ONE (band, key) aggregation (no self-join);
+  verification joins carry only candidate ids' shingle sets.
 """
 
 from __future__ import annotations
@@ -33,11 +32,18 @@ def _spread(df: DataFrame) -> DataFrame:
     fewer partitions (single consolidated parquet file, skewed upstream
     coalesce…). The heavy per-row stages below (shingling, hashing) must
     scale out; one extra round-robin shuffle of (id, text) is far cheaper
-    than serializing the expression work on one core.
+    than serializing the expression work on one core. Detection uses
+    inputFiles() — plan metadata only, no job and no RDD conversion (the
+    round-1 df.rdd probe converted the whole plan per call); non-file
+    sources (test DataFrames, in-memory) repartition unconditionally, which
+    is harmless at their size.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
@@ -129,11 +135,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
-    1. signatures (per-row, no shuffle)
+    1. signatures (explode → scalar hashes → partial-agg min per doc)
     2. band keys: xxhash64 over each band's slice → explode → (band, key)
-    3. self-join on (band, key) with id< id  → candidate pairs (the ONLY
-       shuffle; skew-handled by AQE)
-    4. exact verify: true Jaccard over shingle sets ≥ threshold
+    3. ONE (band, key) aggregation collects bucket members; pairs with
+       id_a < id_b expand via SQL lambdas (no bucket self-join)
+    4. exact verify: true Jaccard over shingle sets, computed only for
+       candidate ids (semi-join prune), ≥ threshold
 
     Returns (id_a, id_b, jaccard) — jaccard rounded to 6dp for stable
     comparisons.

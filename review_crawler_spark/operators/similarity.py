@@ -34,10 +34,13 @@ def _as_double(vec_col: str) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Scale out single-file inputs before per-row vector math (see
-    operators/dedup._spread)."""
+    operators/dedup._spread — inputFiles() probe, no RDD conversion)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 

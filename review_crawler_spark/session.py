@@ -44,6 +44,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # When several local[N] JVMs share one machine (the executor-model
+    # scaling harness), each JVM must size its internal pools (GC, JIT,
+    # ForkJoin) for ITS slice of the machine, not for every visible core —
+    # otherwise 4 co-located JVMs each spawn ~32 GC threads and collide.
+    # Opt-in via env because a lone session may legitimately want the
+    # default sizing.
+    jvm_opts = []
+    jvm_procs = os.environ.get("SPARK_GRAFT_JVM_PROCS")
+    if jvm_procs:
+        jvm_opts.append(f"-XX:ActiveProcessorCount={int(jvm_procs)}")
+    # This VM's first-touch page faults are intermittently ~100× slow
+    # (reclaim/compaction storms after large frees). Pre-touching the whole
+    # heap at JVM start moves that cost out of the measured section and out
+    # of concurrent-run interference — essential for the executor-model
+    # scaling harness, harmless elsewhere.
+    if os.environ.get("SPARK_GRAFT_JVM_PRETOUCH"):
+        jvm_opts.append(f"-Xms{driver_memory}")
+        jvm_opts.append("-XX:+AlwaysPreTouch")
+    if jvm_opts:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", " ".join(jvm_opts)
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -65,3 +65,53 @@ def test_decode_udf_isolates_bad_bytes(spark):
     out = {r["image_id"]: r for r in I.decode_images(df).collect()}
     assert out[IDS[0]]["decode_error"] is None
     assert out["bad/img"]["decode_error"] is not None  # never throws
+
+
+def test_decoder_injection_seam(spark):
+    """U5: decode_images takes any bytes -> (pixels, fmt) decoder — proven
+    with a fake third-party codec (PPM-style, not the built-in one), so a
+    production PIL-backed decode_real slots in without touching the Spark
+    plumbing."""
+    import numpy as np
+
+    from review_crawler_spark.functions.images import (
+        average_phash,
+        decode_images,
+        decode_real,
+    )
+
+    def encode_ppm(px):
+        h, w, _ = px.shape
+        return b"P6 " + f"{w} {h} 255\n".encode() + px.tobytes()
+
+    def decode_ppm(data):
+        head, raw = data.split(b"\n", 1)
+        _, w, h, _ = head.split()
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w), 3)
+        return px, "ppm"
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append((f"img{i}", encode_ppm(px), 16, 16, "ppm", f"cap {i}",
+                     average_phash(px)))
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    out = decode_images(df, decoder=decode_ppm).collect()
+    assert len(out) == 8
+    by_id = {r["image_id"]: r for r in out}
+    for i in range(8):
+        r = by_id[f"img{i}"]
+        assert r["decode_error"] is None and r["pixels_ok"]
+        assert r["phash"] == rows[i][6]  # lossless round trip -> exact phash
+        assert r["caption"] == f"cap {i}"
+
+    # the real-codec stub is a clean seam: documented NotImplementedError
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG...")

