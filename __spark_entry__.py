@@ -721,6 +721,43 @@ FROM documents
 """
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS rolling-window min over shingle
+    hashes) — position-robust dedup/retrieval fingerprints; the whole
+    pipeline is relational, so the oracle replays it exactly in SQL."""
+    from review_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, shingle_k=3, window=4)
+
+
+_SQL_WINNOW = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+         unnest(range(1, len(w) - 1)) AS pos
+  FROM words WHERE len(w) >= 3
+), hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh
+), winned AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM winned
+"""
+
+
 def _q_html_clean(spark, sf_dir):
     """S9 HTML cleaning round-trip: inject script/style/noscript/link/rect/
     comment junk into every page, strip it with the vectorized cleaner
@@ -1331,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
         "f_filters_battery": _q_f_filters,
@@ -1376,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "jats_parse_roundtrip": _SQL_JATS_PARSE,
         "jats_parse_extended": _SQL_JATS_EXT,
         "html_clean": _SQL_HTML_CLEAN,
+        "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,
         "f_filters_battery": _SQL_F_FILTERS,

@@ -105,8 +105,9 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
-def exploded_word_shingles(df, id_col: str, text_col: str, k: int = 3):
-    """(id, _s) — one row per k-word shingle, whole-stage-codegen friendly.
+def exploded_word_shingles(df, id_col: str, text_col: str, k: int = 3,
+                           with_pos: bool = False):
+    """(id, _s[, _pos]) — one row per k-word shingle, codegen friendly.
 
     Same shingle strings as :func:`word_shingles`, but built by exploding an
     ``arrays_zip`` of k shifted word slices and gluing with ``concat_ws`` —
@@ -125,13 +126,20 @@ def exploded_word_shingles(df, id_col: str, text_col: str, k: int = 3):
     slices = [
         F.slice("_w", j + 1, F.col("_n") - (k - 1)).alias(f"_a{j}") for j in range(k)
     ]
-    return (
-        base.filter(F.col("_n") >= k)
-        .select(F.col(id_col), F.explode(F.arrays_zip(*slices)).alias("_z"))
-        .select(
+    filtered = base.filter(F.col("_n") >= k)
+    if with_pos:
+        return filtered.select(
+            F.col(id_col), F.posexplode(F.arrays_zip(*slices)).alias("_pos", "_z")
+        ).select(
             F.col(id_col),
+            (F.col("_pos") + 1).alias("_pos"),  # 1-based document order
             F.concat_ws(" ", *[F.col(f"_z._a{j}") for j in range(k)]).alias("_s"),
         )
+    return filtered.select(
+        F.col(id_col), F.explode(F.arrays_zip(*slices)).alias("_z")
+    ).select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col(f"_z._a{j}") for j in range(k)]).alias("_s"),
     )
 
 

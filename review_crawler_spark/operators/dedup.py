@@ -465,3 +465,56 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+# ------------------------------------------------------------------ winnowing
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: (id, fp) distinct rows.
+
+    The classic position-robust document fingerprint (Schleimer/Wilkerson/
+    Aiken winnowing): hash every k-word shingle, slide a ``window`` over
+    consecutive shingle hashes, keep each window's minimum. Guarantees any
+    shared run of ≥ window+k-1 words yields a shared fingerprint, while
+    storing ~1/window of the shingles — the retrieval-scale fingerprint the
+    reference's whole-document hashing cannot give.
+
+    All relational: exploded shingles (codegen) → per-shingle hash →
+    sliding min() window per doc → distinct. The shingle hash is
+    conv(md5[:15], 16, 10) — 60 bits, bit-for-bit reproducible in the
+    DuckDB oracle ('0x'||substr(md5,1,15) cast) — swap xxhash64 in
+    production for ~5× cheaper hashing (same plan shape).
+
+    Scale: the window function shuffles (id, pos, 8-byte hash) — never the
+    text; partial distinct collapses fingerprints map-side.
+    """
+    from ..functions.text import exploded_word_shingles
+
+    sh = exploded_word_shingles(
+        _spread(docs.select(F.col(id_col), F.col(text_col))),
+        id_col, text_col, k=shingle_k, with_pos=True,
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.conv(F.substring(F.md5(F.encode(F.col("_s"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        hashed.select(F.col(id_col), F.min("_h").over(win).alias("fp"))
+        .distinct()
+    )

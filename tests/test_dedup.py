@@ -121,3 +121,36 @@ def test_embedding_near_dup(spark):
         for r in D.embedding_near_dup_pairs(emb, threshold=0.98).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_winnowing_fingerprints_match_pure_python(spark):
+    """Spark winnow == from-scratch python winnow on known docs, and shared
+    runs of >= window+k-1 words yield shared fingerprints (the winnowing
+    guarantee) even when the run's position shifts."""
+    import hashlib
+    import re as _re
+
+    def py_winnow(text, k=3, window=4):
+        norm = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", text.lower(), flags=_re.ASCII), flags=_re.ASCII).strip()
+        words = norm.split(" ")
+        if len(words) < k:
+            return set()
+        sh = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+        return {min(hs[i:i + window]) for i in range(len(hs))}
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, f"intro words here. {shared} trailing remark"),
+        (2, f"{shared} completely different ending text goes on and on"),
+        (3, "nothing in common with anything else at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in D.winnowing_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in docs:
+        assert got[doc_id] == py_winnow(text), doc_id
+    # position-robustness: docs 1 and 2 share the run at different offsets
+    assert got[1] & got[2], "shared run must share fingerprints"
+    assert not (got[3] & got[1])
