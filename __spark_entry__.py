@@ -678,6 +678,13 @@ def _q_ann_lsh(spark, sf_dir):
     return S.ann_topk_lsh(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer + nprobe inverted
+    lists + exact rescore (the partition-pruned scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivf(e, ANN_QUERY, k=10).select("vec_id", "cosine")
+
+
 def _q_jats_parse(spark, sf_dir):
     """U1 JATS parse round-trip: generate a deterministic JATS corpus from
     doc_ids, parse with the batch UDF, emit scalar fields. The oracle
@@ -1365,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
@@ -1472,6 +1480,10 @@ def _expected_values_oracles() -> dict[str, str]:
              "CAST(? AS INT) AS hamming"],
         ),
         "ann_topk_lsh": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
+        ),
+        "ann_topk_ivf": (
             ann_gate,
             ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
         ),

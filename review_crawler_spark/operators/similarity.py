@@ -144,3 +144,90 @@ def ann_topk_lsh(
         "left_semi",
     )
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    """L2-normalize rows (float64). Cosine search needs a SPHERICAL
+    quantizer: L2 distance on the unit sphere is monotone in cosine, so
+    normalized assignment buckets align with cosine neighborhoods."""
+    norms = np.sqrt((m ** 2).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
+    """Deterministic spherical Lloyd's k-means (float64, unit-normalized
+    input rows, fixed init = first k rows, fixed iteration count,
+    per-centroid distance loop). The exact float recipe is replicated by
+    the oracle generator (tools/gen_expected.py) — keep the two in
+    lock-step if either changes."""
+    sample = _unit(sample)
+    centroids = sample[:k].copy()
+    for _ in range(iters):
+        dists = np.stack(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — nearest-centroid assignment, Arrow-batched BLAS."""
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        mat = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        dists = np.stack([((mat - c) ** 2).sum(axis=1) for c in cent], axis=1)
+        return pd.Series(dists.argmin(axis=1).astype(np.int32))
+
+    return embeddings.select(F.col(id_col), assign_udf(F.col(vec_col)).alias("bucket"))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_n: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → probe the nprobe
+    nearest inverted lists → exact cosine rescore.
+
+    The quantizer trains on a DETERMINISTIC sample (first ``train_n`` rows
+    by id — tiny driver-side collect, exactly how a 100 TB deployment
+    trains its coarse quantizer on a sample) so results are reproducible
+    and oracle-checkable. At scale the bucket column is a partition key:
+    probing reads nprobe/n_centroids of the data, no full scan.
+    """
+    sample_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_fit(sample, n_centroids)
+
+    q = _unit(np.asarray(query, dtype=np.float64)[None, :])[0]
+    qd = np.array([((q - c) ** 2).sum() for c in centroids])
+    probe = [int(b) for b in qd.argsort(kind="stable")[:nprobe]]
+
+    assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    cand = embeddings.join(
+        assigned.filter(F.col("bucket").isin(probe)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -57,3 +57,19 @@ def test_hyperplane_signatures_deterministic(emb):
     s1 = {r["vec_id"]: r["sig"] for r in S.hyperplane_signatures(df, dim=DIM).collect()}
     s2 = {r["vec_id"]: r["sig"] for r in S.hyperplane_signatures(df, dim=DIM).collect()}
     assert s1 == s2
+
+
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    """IVF with nprobe=4/16 must recover most of the exact top-10 (recall
+    depends on the quantizer; the floor asserts the probe path works)."""
+    from review_crawler_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    query = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(DIM)]
+    df, _, _ = emb
+    exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_topk_ivf(df, query, k=10).collect()}
+    assert len(approx & exact) >= 5
+    # widest probe = exhaustive: must equal brute force exactly
+    full = {r["vec_id"] for r in ann_topk_ivf(
+        df, query, k=10, n_centroids=8, nprobe=8).collect()}
+    assert full == exact

@@ -271,13 +271,63 @@ def ann_lsh_expected(vec_ids, mat, query, k=10, num_planes=12, max_hamming=2, se
     return scored[:k]
 
 
+# ---------------------------------------------------------------- ivf
+
+def ann_ivf_expected(
+    vec_ids, mat, query, k=10, n_centroids=16, nprobe=4, train_n=2000, iters=5
+):
+    """IVF top-k: deterministic Lloyd's quantizer (init = first k sample
+    rows, fixed iters, per-centroid distance loop — the float recipe
+    operators/similarity._kmeans_fit commits to), probe nprobe nearest
+    lists, exact sequential-fold cosine rescore."""
+    def unit(m):
+        norms = np.sqrt((m ** 2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return m / norms[:, None]
+
+    sample = unit(mat[:train_n].astype(np.float64))
+    centroids = sample[:n_centroids].copy()
+    for _ in range(iters):
+        dists = np.stack(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    qu = unit(np.asarray(query, dtype=np.float64)[None, :])[0]
+    qd = np.array([((qu - c) ** 2).sum() for c in centroids])
+    probe = set(int(b) for b in qd.argsort(kind="stable")[:nprobe])
+    mat_u = unit(mat.astype(np.float64))
+    all_d = np.stack([((mat_u - c) ** 2).sum(axis=1) for c in centroids], axis=1)
+    buckets = all_d.argmin(axis=1)
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(np.dot(q, q)))
+    scored = []
+    dim = len(query)
+    for i in range(len(vec_ids)):
+        if int(buckets[i]) not in probe:
+            continue
+        v = mat[i]
+        dot = 0.0
+        nrm = 0.0
+        for j in range(dim):
+            dot += v[j] * q[j]
+            nrm += v[j] * v[j]
+        scored.append((int(vec_ids[i]), round_half_up(dot / (np.sqrt(nrm) * qn), 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 # ---------------------------------------------------------------- driver
 
 def generate(sf_dirs):
     import duckdb
 
     con = duckdb.connect()
-    out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": []}
+    out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
+           "ann_topk_ivf": []}
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -314,6 +364,11 @@ def generate(sf_dirs):
         print(f"  ann rows: {len(ann)} over {len(vec_ids)} vectors", flush=True)
         out["ann_topk_lsh"].append(
             {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ann]}
+        )
+        ivf = ann_ivf_expected(vec_ids, mat, query)
+        print(f"  ivf rows: {len(ivf)}", flush=True)
+        out["ann_topk_ivf"].append(
+            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ivf]}
         )
     path = os.path.join(os.path.dirname(__file__), "..", "expected", "expected_pairs.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
