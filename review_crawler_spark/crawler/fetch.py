@@ -77,11 +77,14 @@ def fetch_pages(
 ) -> DataFrame:
     """Fetch a wave's scheduled URLs: one task per host partition.
 
-    Politeness: rows repartition on ``host`` so each task serially works a
-    single host's slice (the per-host budget upstream already caps slice
+    Politeness: rows repartition on ``host`` so a host's whole wave slice
+    lands in one task (the per-host budget upstream already caps slice
     size); ``pace=True`` enforces ≥ ``min_tbr`` seconds between requests to
-    the same host — per-task local sleep, no cluster coordination, exactly
-    the per-domain pacing the reference gets from its in-loop sleep.
+    the SAME host — a per-host stamp dict local to the task, no cluster
+    coordination, exactly the per-domain pacing the reference gets from its
+    in-loop sleep. Hash partitioning co-locates several hosts per task;
+    those interleave round-robin so their pacing floors overlap instead of
+    summing.
     Fetcher exceptions never kill the task: rows get ``fetch_error`` and
     status 0 (the engine's retry policy requeues them).
     """
@@ -91,16 +94,37 @@ def fetch_pages(
     ]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        last_request = 0.0
+        # pacer keyed BY HOST: repartition(host) hash-partitions, so several
+        # hosts routinely share one task — a single scalar pacer would then
+        # enforce min_tbr *across* hosts, serializing hosts that could
+        # proceed in parallel (politeness held, throughput didn't). Per-host
+        # stamps keep the ≥min_tbr floor per host while co-resident hosts
+        # interleave without cross-host sleeps.
+        last_request: dict[str, float] = {}
         for pdf in it:
+            if pace and pdf["host"].nunique() > 1:
+                # round-robin the batch across its hosts (1st row of each
+                # host, then 2nd of each, …): a host's successive requests
+                # are then separated by the other hosts' work, so the
+                # per-host floor is usually already satisfied and sleeps
+                # overlap instead of summing. Within-host order is
+                # preserved (cumcount is stable); output order is
+                # irrelevant to the unordered DataFrame contract.
+                pdf = (
+                    pdf.assign(_rr=pdf.groupby("host").cumcount())
+                    .sort_values("_rr", kind="stable")
+                    .drop(columns="_rr")
+                )
             out = {c: pdf[c] for c in cols}
             statuses, bodies, errors, stamps = [], [], [], []
-            for url in pdf["url"]:
+            for url, host in zip(pdf["url"], pdf["host"]):
                 if pace:
-                    wait = min_tbr - (time.monotonic() - last_request)
+                    wait = min_tbr - (
+                        time.monotonic() - last_request.get(host, 0.0)
+                    )
                     if wait > 0:
                         time.sleep(wait)
-                last_request = time.monotonic()
+                last_request[host] = time.monotonic()
                 try:
                     status, body = fetcher(url)
                     statuses.append(status)

@@ -164,6 +164,10 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
     the oracle generator (tools/gen_expected.py) — keep the two in
     lock-step if either changes."""
     sample = _unit(sample)
+    # fewer rows than requested centroids → degrade to one centroid per
+    # row instead of indexing past the sample (the oracle generator
+    # clamps identically)
+    k = min(k, len(sample))
     centroids = sample[:k].copy()
     for _ in range(iters):
         dists = np.stack(

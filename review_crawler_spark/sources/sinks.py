@@ -105,20 +105,29 @@ def merge_upsert(
     import json
 
     pointer = os.path.join(table_dir, "_current")
-    bucket_col = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
-    upd = updates.withColumn("_b", bucket_col)
-    touched = sorted(r["_b"] for r in upd.select("_b").distinct().collect())
     if os.path.exists(pointer):
         with open(pointer) as f:
             manifest = json.load(f)
         version = manifest["version"] + 1
         buckets: dict[str, str] = dict(manifest["buckets"])
-        assert manifest["num_buckets"] == num_buckets, (
-            "bucket count is fixed at table creation"
-        )
+        # bucket count is fixed at table creation: existing rows live in
+        # dirs keyed by the creation-time count, so honoring a different
+        # caller value would silently mis-bucket the update and the
+        # left_anti dedup below would miss matching keys (duplicates
+        # surviving a MERGE). The manifest is authoritative; a mismatched
+        # argument is a hard error, never a stripped-under-`-O` assert.
+        if manifest["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"bucket count is fixed at table creation: table has "
+                f"{manifest['num_buckets']}, caller passed {num_buckets}"
+            )
+        num_buckets = manifest["num_buckets"]
     else:
         version = 0
         buckets = {}
+    bucket_col = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+    upd = updates.withColumn("_b", bucket_col)
+    touched = sorted(r["_b"] for r in upd.select("_b").distinct().collect())
     new_rel = f"v={version}"
     if touched:
         old_dirs = [
@@ -142,7 +151,14 @@ def merge_upsert(
         "num_buckets": num_buckets,
         "key": key,
         "buckets": buckets,
+        # recorded so read_merged can answer an all-empty table (zero live
+        # buckets) with a correctly-typed empty DataFrame instead of an
+        # empty-path parquet read error
+        "schema": updates.schema.json(),
     }
+    # an all-empty first merge writes no bucket dirs, so the table dir may
+    # not exist yet when only the manifest needs writing
+    os.makedirs(table_dir, exist_ok=True)
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -157,4 +173,11 @@ def read_merged(spark: SparkSession, table_dir: str) -> DataFrame:
     with open(os.path.join(table_dir, "_current")) as f:
         manifest = json.load(f)
     dirs = [os.path.join(table_dir, rel) for rel in manifest["buckets"].values()]
+    if not dirs:
+        # a first merge_upsert with an empty updates frame writes version 0
+        # with zero buckets — answer with the recorded schema (the _b bucket
+        # column is a partition dir component, not a data column, so live
+        # reads don't carry it either)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*dirs)

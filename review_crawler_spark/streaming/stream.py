@@ -88,13 +88,7 @@ def admit_stream(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         admit_batch(batch, epoch_id, url_seen_dir, admitted_dir)
-            # EXCLUDE this epoch's own partition: on an epoch replay after a
-            # crash between the url_seen write and the streaming-checkpoint
-            # commit, url_seen already holds this epoch's hashes — anti-
-            # joining against them would produce an empty `new` and
-            # overwrite admitted/epoch=N with nothing (silent loss). The
-            # epoch= dir name is a partition column under basePath, so the
-            # filter prunes it at the scan.
+
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

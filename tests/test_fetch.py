@@ -85,3 +85,26 @@ def test_fetch_partitions_by_host(spark):
         parts_per_host.setdefault(r["host"], set()).add(r["part"])
     for host, parts in parts_per_host.items():
         assert len(parts) == 1, (host, parts)
+
+def test_fetch_cohosted_tasks_interleave(spark):
+    """Co-resident hosts in ONE task must not serialize each other's pacing
+    (round-2 ADVICE): with k hosts sharing a task, total wall approaches the
+    per-host floor (n-1)*min_tbr, not k*(n-1)*min_tbr."""
+    hosts = ["a.com", "b.com", "c.com", "d.com"]
+    n, tbr = 4, 0.3
+    df = _scheduled(spark, _rows(n, hosts)).coalesce(1)  # force co-residency
+    t0 = time.time()
+    out = fetch_pages(df, lambda u: (200, b"x"), min_tbr=tbr, pace=True).collect()
+    wall = time.time() - t0
+    assert len(out) == n * len(hosts)
+    # per-host floor still holds
+    by_host: dict[str, list[float]] = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r["fetched_at"])
+    for host, stamps in by_host.items():
+        stamps.sort()
+        assert all(b - a >= 0.28 for a, b in zip(stamps, stamps[1:])), host
+    # a scalar pacer would need >= (k*n - 1) * tbr = 4.5 s of sleeps; the
+    # interleaved pacer needs only ~(n-1)*tbr = 0.9 s. Allow generous
+    # overhead headroom while staying far below the serialized bound.
+    assert wall < (len(hosts) * n - 1) * tbr * 0.75, wall

@@ -177,3 +177,30 @@ def test_validated_json_sink_accepts_good_rejects_bad(spark, tmp_path):
     with _pytest.raises(ValueError, match="schema validation failed"):
         validated_write_json(bad, str(tmp_path / "bad_json"), ARTICLE_EXPORT_SCHEMA)
     assert not os.path.exists(str(tmp_path / "bad_json"))
+
+def test_merge_upsert_rejects_bucket_count_change(spark, tmp_path):
+    """Bucket count is fixed at creation — a mismatched caller value is a
+    ValueError (round-2 ADVICE: a bare assert vanishes under `python -O`
+    and the mis-bucketed merge then silently keeps duplicate keys)."""
+    import pytest
+
+    from review_crawler_spark.sources.sinks import merge_upsert
+
+    d = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(spark, d, df, key="id", num_buckets=8)
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        merge_upsert(spark, d, df, key="id", num_buckets=16)
+
+
+def test_read_merged_empty_table(spark, tmp_path):
+    """First merge with an empty frame → zero live buckets; read_merged
+    answers a typed empty DataFrame instead of an empty-path read error."""
+    from review_crawler_spark.sources.sinks import merge_upsert, read_merged
+
+    d = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "id long, v string")
+    merge_upsert(spark, d, empty, key="id", num_buckets=4)
+    out = read_merged(spark, d)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "v"]

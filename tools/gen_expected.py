@@ -286,6 +286,9 @@ def ann_ivf_expected(
         return m / norms[:, None]
 
     sample = unit(mat[:train_n].astype(np.float64))
+    # lock-step with similarity._kmeans_fit: fewer rows than requested
+    # centroids degrades to one centroid per row
+    n_centroids = min(n_centroids, len(sample))
     centroids = sample[:n_centroids].copy()
     for _ in range(iters):
         dists = np.stack(
