@@ -107,6 +107,19 @@ def minhash_signature(
     codegen), ~10× slower than the exploded scalar pipeline.
     """
     spread = _spread(docs.select(F.col(id_col), F.col(text_col)))
+    sig = _minhash_sig_inner(spread, id_col, text_col, num_hashes, shingle_k)
+    # docs with < k words have no shingle rows — restore them with null sig
+    return spread.select(id_col).join(sig, id_col, "left")
+
+
+def _minhash_sig_inner(
+    spread: DataFrame, id_col: str, text_col: str, num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Signatures for docs that HAVE shingles (one corpus scan, no
+    null-restore join). minhash_lsh_pairs consumes this directly: the
+    public minhash_signature's restore-left-join costs a second corpus
+    scan that the pairs path would immediately filter back out."""
     exploded = exploded_word_shingles(spread, id_col, text_col, k=shingle_k)
     hashed = exploded.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
     lanes = hashed.select(
@@ -116,12 +129,10 @@ def minhash_signature(
     aggd = lanes.groupBy(id_col).agg(
         *[F.min(f"_l{i}").alias(f"_m{i}") for i in range(num_hashes)]
     )
-    sig = aggd.select(
+    return aggd.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    # docs with < k words have no shingle rows — restore them with null sig
-    return spread.select(id_col).join(sig, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -146,8 +157,11 @@ def minhash_lsh_pairs(
     comparisons.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_k).filter(
-        F.col("sig").isNotNull()
+    spread_docs = _spread(docs.select(F.col(id_col), F.col(text_col)))
+    # inner variant: docs without shingles can't pair anyway, and the public
+    # minhash_signature's null-restore join would re-scan the corpus
+    sigs = _minhash_sig_inner(
+        spread_docs, id_col, text_col, num_hashes, shingle_k
     )
     band_arr = F.array(
         *[
@@ -165,10 +179,14 @@ def minhash_lsh_pairs(
     )
     # One aggregation instead of a bucket self-join: collect each bucket's
     # member ids, keep multi-member buckets, and expand pairs with SQL
-    # lambdas. The aggregation's exchange is the single shuffle below both
-    # consumers (pairs + candidate ids), so the signature computation runs
-    # once and is deduplicated by ReusedExchange — a self-join would let AQE
-    # broadcast one side and recompute the signature subtree per occurrence.
+    # lambdas. bucket_groups is MATERIALIZED (eager localCheckpoint): it is
+    # tiny — only multi-member buckets survive the size filter — but it has
+    # two consumers (pairs + candidate ids) and each verify-side join adds
+    # another, so without the barrier Spark plans the whole scan→shingle→
+    # 32-lane-hash→min-agg signature subtree once PER CONSUMER (~4
+    # independent subtrees; round-2 plan audit showed no ReusedExchange).
+    # After the checkpoint the corpus is shingled+hashed exactly once for
+    # signatures, and everything downstream reads the materialized buckets.
     # Note: a bucket of m near-identical docs expands m²/2 pairs in one task;
     # that fan-out is inherent to LSH (the self-join emits the same pairs),
     # and bands over 64-bit hashes keep non-degenerate buckets tiny.
@@ -176,7 +194,7 @@ def minhash_lsh_pairs(
         buckets.groupBy("band", "key")
         .agg(F.collect_set(F.col(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
-    )
+    ).localCheckpoint(eager=True)
     pairs_sql = (
         "flatten(transform(_ids, ida -> "
         "transform(filter(_ids, idb -> idb > ida), "
@@ -189,18 +207,20 @@ def minhash_lsh_pairs(
     )
     # Verify-stage prune: recompute shingle sets ONLY for candidate ids, so
     # the verify joins shuffle candidates' shingle arrays — never the whole
-    # corpus's.
+    # corpus's. shing is also materialized: the id_a and id_b joins below
+    # would otherwise each re-run the pruned corpus scan (and it is small —
+    # candidates only).
     cand_ids = (
         bucket_groups.select(F.explode("_ids").alias(id_col)).distinct()
     )
     shing = (
-        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        spread_docs
         .join(cand_ids, id_col, "left_semi")
         .select(
             F.col(id_col),
             F.array_distinct(word_shingles(F.col(text_col), k=shingle_k)).alias("_set"),
         )
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         cand.join(shing.withColumnRenamed(id_col, "id_a").withColumnRenamed("_set", "_sa"), "id_a")
         .join(shing.withColumnRenamed(id_col, "id_b").withColumnRenamed("_set", "_sb"), "id_b")
