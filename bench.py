@@ -222,7 +222,12 @@ def run_bench(cpus: int) -> dict:
     frontier_s2, _ = bench_frontier_pipeline(spark, FRONTIER_N)
     frontier_s = min(frontier_s, frontier_s2)
     queries["frontier_pipeline"] = round(frontier_s, 3)
+    # best-of-2 like every other entry: round 2 recorded a single cold run
+    # that absorbed a host page-fault storm and read as a 2.2x engine
+    # regression — pairs of runs separate engine changes from host weather
     eng_s, eng_urls = bench_engine_waves(spark)
+    eng_s2, _ = bench_engine_waves(spark)
+    eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
     urls_per_sec = FRONTIER_N / frontier_s
     return {

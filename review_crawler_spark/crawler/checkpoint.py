@@ -18,12 +18,15 @@ environment constraints).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -76,6 +79,115 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         return df.filter(F.col("w") <= up_to_wave).drop("w")
+
+    # -------------------------------------------------- bucketed deltas
+    # Same append-only per-wave delta growth as append_delta, but through a
+    # catalog table PARTITIONED BY (w) and CLUSTERED BY the join key, so a
+    # consumer joining on exactly the bucket columns gets a bucketed scan —
+    # NO Exchange on the (huge, cumulative) delta-table side, only the
+    # small per-wave probe side shuffles. This is the engine's url_seen
+    # confirm join at 10^10 URLs: without bucketing every wave sort-merge-
+    # shuffles the whole seen-set. With an Iceberg/Hive catalog the same
+    # calls write real bucketed tables; the in-memory catalog needs the
+    # CREATE TABLE re-registration below on resume (metadata is
+    # session-scoped, the parquet layout on disk is not).
+
+    def table_name(self, name: str) -> str:
+        """Catalog-safe, per-store-unique table name."""
+        digest = hashlib.md5(str(self.base.resolve()).encode()).hexdigest()[:12]
+        return f"rcs_{name}_{digest}"
+
+    def _spec_path(self, name: str) -> Path:
+        return self.base / f"_spec_{name}.json"
+
+    def ensure_bucketed_registered(self, spark: SparkSession, name: str) -> str:
+        """Register the bucketed delta table in this session's catalog if a
+        spec exists on disk but the (session-scoped) catalog lost it — the
+        resume-in-a-new-session path. MSCK recovers the committed partition
+        dirs; uncommitted orphans are excluded by the read's w-filter."""
+        tbl = self.table_name(name)
+        if spark.catalog.tableExists(tbl):
+            return tbl
+        spec = json.loads(self._spec_path(name).read_text())
+        cols = ", ".join(f"{c} {t}" for c, t in spec["columns"])
+        bucket_cols = ", ".join(spec["bucket_cols"])
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}, w INT) USING PARQUET "
+            f"PARTITIONED BY (w) CLUSTERED BY ({bucket_cols}) "
+            f"INTO {spec['num_buckets']} BUCKETS "
+            f"LOCATION '{self.base / name}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        return tbl
+
+    def append_delta_bucketed(
+        self,
+        name: str,
+        wave: int,
+        df: DataFrame,
+        bucket_cols: tuple[str, ...],
+        num_buckets: int = 16,
+    ) -> str:
+        """Write one wave's delta into the bucketed table (O(new) I/O).
+
+        Crash-safe like append_delta: a prior crashed attempt's ``w=wave``
+        leftovers are dropped (dir + catalog partition) before the append,
+        so a wave replay overwrites exactly its own partition. The
+        repartition onto the bucket columns caps output at num_buckets
+        files per wave (bucketed writes otherwise emit one file per input
+        task per bucket)."""
+        spark = df.sparkSession
+        loc = self.base / name
+        spec_path = self._spec_path(name)
+        tbl = self.table_name(name)
+        if not spec_path.exists():
+            spec = {
+                "columns": [
+                    (f.name, f.dataType.simpleString().upper())
+                    for f in df.schema.fields
+                ],
+                "bucket_cols": list(bucket_cols),
+                "num_buckets": num_buckets,
+            }
+            tmp = spec_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(spec))
+            os.rename(tmp, spec_path)
+        if spark.catalog.tableExists(tbl):
+            spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wave})")
+        wdir = loc / f"w={wave}"
+        if wdir.exists():
+            shutil.rmtree(wdir)
+        (
+            df.withColumn("w", F.lit(wave))
+            .repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+            .write.format("parquet")
+            .option("path", str(loc))
+            .partitionBy("w")
+            .bucketBy(num_buckets, *bucket_cols)
+            .mode("append")
+            .saveAsTable(tbl)
+        )
+        # deterministic partition registration (saveAsTable(append) tracks
+        # new partitions in most catalogs, but an explicit O(1) ADD is
+        # cheaper and stricter than a per-wave MSCK relisting)
+        spark.sql(f"ALTER TABLE {tbl} ADD IF NOT EXISTS PARTITION (w={wave})")
+        return str(wdir)
+
+    def read_bucketed_deltas(
+        self, spark: SparkSession, name: str, up_to_wave: int
+    ) -> DataFrame:
+        """All committed deltas (catalog partition pruning on w ≤ wave);
+        the scan reports the table's bucketing, so equi-joins on the bucket
+        columns plan no Exchange on this side."""
+        tbl = self.ensure_bucketed_registered(spark, name)
+        return spark.table(tbl).filter(F.col("w") <= up_to_wave).drop("w")
+
+    def read_bucketed_delta(
+        self, spark: SparkSession, name: str, wave: int
+    ) -> DataFrame:
+        """Exactly one wave's delta — a single pruned partition read."""
+        tbl = self.ensure_bucketed_registered(spark, name)
+        return spark.table(tbl).filter(F.col("w") == wave).drop("w")
 
     # ----------------------------------------------------------- resume
     def latest_wave(self) -> int | None:

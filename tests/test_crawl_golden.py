@@ -148,7 +148,10 @@ def test_resume_ignores_orphan_delta(spark, tmp_path, sim_result):
         [(999999999, "https://orphan.example/x", 99, 0)],
         "url_hash long, canonical_url string, first_wave int, partition_id int",
     )
-    store.append_delta("url_seen", eng.next_wave + 1, poison)
+    store.append_delta_bucketed(
+        "url_seen", eng.next_wave + 1, poison,
+        ("url_hash", "canonical_url"), eng.seen_buckets,
+    )
 
     eng2 = _run_engine(spark, store, site)
     assert eng2.resume() is True
@@ -178,8 +181,7 @@ def test_frontier_commit_is_o_delta(engine_result):
         eng.store.read(eng.spark, w, "frontier").count() for w in range(last + 1)
     ]
     assert max(sizes) < len(order)  # never holds full fetch history
-    # fetched logs cover every fetch exactly once
-    n_logged = sum(
-        eng.store.read(eng.spark, w, "fetched").count() for w in range(last + 1)
-    )
+    # fetched logs cover every fetch exactly once (one partitioned scan —
+    # fetched history is a per-wave append log, not per-wave snapshots)
+    n_logged = eng.store.read_deltas(eng.spark, "fetched_log", last).count()
     assert n_logged == len(order)
