@@ -882,7 +882,14 @@ WITH affs AS (
          string_agg('Institute '
                     || CAST((doc_id * 7 + (doc_id + i) % (1 + doc_id % 3)) % 25 AS VARCHAR)
                     || ', City '
-                    || CAST((doc_id + (doc_id + i) % (1 + doc_id % 3)) % 9 AS VARCHAR),
+                    || CAST((doc_id + (doc_id + i) % (1 + doc_id % 3)) % 9 AS VARCHAR)
+                    -- fn_note shape: the corr author's current-address
+                    -- footnote resolves into their affiliation entry
+                    || CASE WHEN doc_id % 8 = 3
+                                 AND i = doc_id % (1 + doc_id % 4)
+                            THEN '; Current address: Institute '
+                                 || CAST((doc_id * 11) % 25 AS VARCHAR)
+                            ELSE '' END,
                     ' || ' ORDER BY i) AS author_affs_joined
   FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i
         FROM documents)
@@ -899,10 +906,17 @@ WITH affs AS (
 SELECT b.doc_id,
   a.affs_joined,
   aa.author_affs_joined,
-  CASE WHEN b.doc_id % 4 = 0
+  CASE WHEN b.doc_id % 4 = 0 OR b.doc_id % 8 IN (1, 5)
        THEN chr(65 + CAST((b.doc_id + b.corr_i) % 26 AS INT)) || 'F'
+       WHEN b.doc_id % 8 = 7 THEN 'cor001'
        ELSE 'cor1' END AS corr_key,
-  'corr' || CAST(b.doc_id AS VARCHAR) || '@example'
+  -- parser output is sorted; '.alt' sorts before '@' so the alt address
+  -- leads the multi-email join
+  CASE WHEN b.doc_id % 8 = 1
+       THEN 'corr' || CAST(b.doc_id AS VARCHAR) || '.alt@example'
+            || CAST(b.doc_id % 5 AS VARCHAR) || '.org,'
+       ELSE '' END
+    || 'corr' || CAST(b.doc_id AS VARCHAR) || '@example'
     || CAST(b.doc_id % 5 AS VARCHAR) || '.org' AS corr_emails_joined,
   'Family' || CAST(b.doc_id AS VARCHAR) || '_'
     || CAST(b.corr_i AS VARCHAR) AS corr_author_surname,

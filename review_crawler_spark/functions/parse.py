@@ -120,6 +120,25 @@ def parse_jats(data: bytes) -> dict:
             )
     affiliations = list(aff_dict.values())
 
+    # ---- fn_dict: author-notes footnotes (current addresses etc.) keyed by
+    # id, resolved through contributors' fn xrefs (rarticle.py get_fn_dict
+    # :384-415 — email children skipped, bare-text fns whitespace-scrubbed)
+    notes = meta.find("./author-notes")
+    fn_dict: dict[str, str] = {}
+    if notes is not None:
+        for el in notes:
+            if not el.get("id") or el.tag == "corresp":
+                continue
+            kids = list(el)
+            if kids:
+                for sub in kids:
+                    if sub.tag != "email" and sub.text:
+                        fn_dict[el.get("id")] = sub.text
+            elif el.text:
+                fn_dict[el.get("id")] = (
+                    el.text.replace("\n", "").replace("\r", "").replace("\t", "")
+                )
+
     contribs = meta.findall('./contrib-group/contrib[@contrib-type="author"]')
     author_affiliations = []
     corr_rid_author = None  # surname of the contributor xref'd to <corresp>
@@ -131,25 +150,62 @@ def parse_jats(data: bytes) -> dict:
             aff_dict.get(x.get("rid"), "")
             for x in c.findall('./xref[@ref-type="aff"]')
         ]
+        # footnote-resolved institution info joins the aff list
+        # (rarticle.py get_contributors_info pairs rid_dict with fn_dict)
+        affs += [
+            fn_dict[x.get("rid")]
+            for x in c.findall('./xref[@ref-type="fn"]')
+            if x.get("rid") in fn_dict
+        ]
         author_affiliations.append("; ".join(affs))
         if c.find('./xref[@ref-type="corresp"]') is not None:
             corr_rid_author = fam
         if giv and fam:
             initials_index.setdefault(giv[0] + fam[0], []).append(fam)
 
-    # ---- J4: corresponding-author emails keyed by corresp id or by the
-    # initials in the email's tail text (rarticle.py get_corr_author_emails
-    # :417-512 — the two shapes synthetic corpora produce; the reference's
-    # further branches cover comma-separated multi-email tails).
+    # ---- J4: corresponding-author emails (rarticle.py
+    # get_corr_author_emails :417-512 — all four shapes): keyed by the
+    # initials in the email's tail, by initials in parentheses inside the
+    # email text, by the corresp id for plain single emails, with
+    # comma-separated multi-email runs accumulating onto the closing
+    # initials key, and a regex scrape of the notes text as last resort.
     corr_emails_map: dict[str, list[str]] = {}
     corresp = meta.find("./author-notes/corresp")
     if corresp is not None:
+        pending: list[str] = []  # emails whose tail was just a comma
         for item in corresp:
             if item.tag != "email" or not item.text:
                 continue
+            text = item.text
+            if "(" in text and ")" in text:
+                # initials inside the email element: "addr (AB)"
+                # (rarticle.py:446-455 — prune non [a-zA-Z0-9=@.+-])
+                parts = [
+                    re.sub(r"[^a-zA-Z0-9=@.+-]", "", p) for p in text.split(" ")
+                ]
+                if len(parts) >= 2:
+                    corr_emails_map.setdefault(parts[1], []).append(parts[0])
+                    continue
             tail_key = re.sub(r"[^a-zA-Z0-9=]", "", item.tail or "")
-            key = tail_key if tail_key else (corresp.get("id") or "cor001")
-            corr_emails_map.setdefault(key, []).append(item.text)
+            if tail_key:
+                # initials tail closes any comma-separated run before it
+                corr_emails_map.setdefault(tail_key, []).extend(
+                    pending + [text]
+                )
+                pending = []
+            else:
+                pending.append(text)
+        if pending:
+            corr_emails_map.setdefault(
+                corresp.get("id") or "cor001", []
+            ).extend(pending)
+    if not corr_emails_map and notes is not None:
+        # regex fallback over the notes' full text (rarticle.py:506-512)
+        scraped = re.findall(
+            r"[\w.-]+@[\w.-]+", " ".join(notes.itertext())
+        )
+        if scraped:
+            corr_emails_map["cor001"] = scraped
     # match email key back to an author: unique-initials match first, else
     # the contributor carrying the corresp xref (rarticle.py:691-721)
     corr_author_surname = None

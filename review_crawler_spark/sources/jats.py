@@ -87,10 +87,57 @@ def corr_email_of(article_id: int) -> str:
     return f"corr{article_id}@example{article_id % 5}.org"
 
 
+def corr_email2_of(article_id: int) -> str:
+    """Second address of a multi-email corresponding author."""
+    return f"corr{article_id}.alt@example{article_id % 5}.org"
+
+
+def corresp_shape_of(article_id: int) -> str:
+    """Which of the reference's get_corr_author_emails branches
+    (rarticle.py:417-512) this article's <author-notes> exercises:
+
+    - ``initials_tail``    — <email>addr</email> AB          (a % 4 == 0)
+    - ``multi_email_comma``— <email>a1</email>, <email>a2</email> AB
+                             (comma-separated multi-email tail, a % 8 == 1)
+    - ``paren_initials``   — <email>addr (AB)</email>        (a % 8 == 5)
+    - ``fn_note``          — plain id-keyed email + an <fn> current-address
+                             footnote xref'd by the corr author (a % 8 == 3)
+    - ``regex_fallback``   — no <email> element at all; the address sits in
+                             corresp text and only the reference's regex
+                             scrape finds it                 (a % 8 == 7)
+    - ``id_keyed``         — plain <email>addr</email>       (a % 8 ∈ {2,6})
+    """
+    if article_id % 4 == 0:
+        return "initials_tail"
+    m = article_id % 8
+    if m == 1:
+        return "multi_email_comma"
+    if m == 5:
+        return "paren_initials"
+    if m == 3:
+        return "fn_note"
+    if m == 7:
+        return "regex_fallback"
+    return "id_keyed"
+
+
+def corr_emails_of(article_id: int) -> list[str]:
+    """All corresponding-author emails, in the parser's output order
+    (sorted — the parse output sorts for representation stability; '.alt'
+    sorts before '@')."""
+    if corresp_shape_of(article_id) == "multi_email_comma":
+        return sorted([corr_email_of(article_id), corr_email2_of(article_id)])
+    return [corr_email_of(article_id)]
+
+
+def fn_note_text_of(article_id: int) -> str:
+    """Current-address footnote body (fn_note shape only)."""
+    return f"Current address: Institute {(article_id * 11) % 25}"
+
+
 def email_keyed_by_initials(article_id: int) -> bool:
     """Every 4th article writes the corr email with a trailing-initials tail
-    (the reference's multi-corresponding-author shape); the rest key by the
-    <corresp> element id."""
+    (the reference's multi-corresponding-author shape)."""
     return article_id % 4 == 0
 
 
@@ -264,6 +311,11 @@ def make_jats_xml(article_id: int) -> bytes:
         f"</name>"
         f'<xref ref-type="aff" rid="aff{author_aff_idx(a, i) + 1}"/>'
         + ('<xref ref-type="corresp" rid="cor1"/>' if i == corr_i else "")
+        + (
+            '<xref ref-type="fn" rid="fn1"/>'
+            if i == corr_i and corresp_shape_of(a) == "fn_note"
+            else ""
+        )
         + "</contrib>"
         for i in range(n_authors_of(a))
     )
@@ -277,10 +329,46 @@ def make_jats_xml(article_id: int) -> bytes:
         )
         for j in range(n_affs_of(a))
     )
-    if email_keyed_by_initials(a):
+    shape = corresp_shape_of(a)
+    ini = initials_of(a, corr_i)
+    if shape == "initials_tail":
         corresp = (
             '<author-notes><corresp id="cor1">'
-            f"<email>{corr_email_of(a)}</email> {initials_of(a, corr_i)}"
+            f"<email>{corr_email_of(a)}</email> {ini}"
+            "</corresp></author-notes>"
+        )
+    elif shape == "multi_email_comma":
+        # one author, two addresses: comma tail on the first email, the
+        # author's initials after the last (rarticle.py:468-489)
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"<email>{corr_email_of(a)}</email>, "
+            f"<email>{corr_email2_of(a)}</email> {ini}"
+            "</corresp></author-notes>"
+        )
+    elif shape == "paren_initials":
+        # initials inside the email element's own text (rarticle.py:446-455)
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"<email>{corr_email_of(a)} ({ini})</email>"
+            "</corresp></author-notes>"
+        )
+    elif shape == "fn_note":
+        # plain id-keyed email plus a current-address footnote the corr
+        # author xrefs (rarticle.py get_fn_dict :384-415)
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"<email>{corr_email_of(a)}</email>"
+            "</corresp>"
+            f'<fn id="fn1"><p>{fn_note_text_of(a)}</p></fn>'
+            "</author-notes>"
+        )
+    elif shape == "regex_fallback":
+        # no <email> element at all — only the text scrape finds it
+        # (rarticle.py:506-512)
+        corresp = (
+            '<author-notes><corresp id="cor1">'
+            f"Contact email: {corr_email_of(a)} for correspondence"
             "</corresp></author-notes>"
         )
     else:

@@ -181,7 +181,7 @@ def test_random_articles_reference_contract():
         # extended rarticle field surface (round-2 parity)
         assert len(res["affiliations"]) == G.n_affs_of(a)
         assert len(res["author_affiliations"]) == len(res["authors"])
-        assert res["corr_emails"] == [G.corr_email_of(a)]
+        assert res["corr_emails"] == G.corr_emails_of(a)
         assert res["corr_author_surname"] == G.surname_of(a, G.corr_author_idx(a))
         assert res["received_date"] == G.received_date_of(a).isoformat()
         assert res["accepted_date"] == G.accepted_date_of(a).isoformat()
@@ -193,13 +193,54 @@ def test_random_articles_reference_contract():
         assert res["license_href"] == G.license_href_of(a)
 
 
-def test_corr_email_keyed_by_initials_vs_corresp_id():
-    """J4 both shapes: initials-tail articles key by initials and resolve to
-    the unique-initials author; plain ones key by the corresp element id and
-    resolve through the corresp xref (rarticle.py:417-512,691-721)."""
+def test_corr_email_all_reference_shapes():
+    """J4 full branch parity with rarticle.py get_corr_author_emails
+    (:417-512): initials tail, corresp-id keyed, comma-separated multi-email
+    runs, initials-in-parentheses, footnote current addresses (get_fn_dict
+    :384-415), and the regex text scrape of last resort (:506-512). Every
+    shape must still resolve the corresponding author's surname."""
     from review_crawler_spark.functions.parse import parse_jats
 
-    res = parse_jats(G.make_jats_xml(8))  # 8 % 4 == 0 → initials shape
+    res = parse_jats(G.make_jats_xml(8))  # initials_tail
+    assert G.corresp_shape_of(8) == "initials_tail"
     assert res["corr_email_keys"] == [G.initials_of(8, G.corr_author_idx(8))]
-    res = parse_jats(G.make_jats_xml(7))  # plain shape
+    assert res["corr_emails"] == [G.corr_email_of(8)]
+
+    res = parse_jats(G.make_jats_xml(6))  # id_keyed
+    assert G.corresp_shape_of(6) == "id_keyed"
     assert res["corr_email_keys"] == ["cor1"]
+    assert res["corr_emails"] == [G.corr_email_of(6)]
+
+    res = parse_jats(G.make_jats_xml(9))  # multi_email_comma
+    assert G.corresp_shape_of(9) == "multi_email_comma"
+    assert res["corr_email_keys"] == [G.initials_of(9, G.corr_author_idx(9))]
+    assert res["corr_emails"] == G.corr_emails_of(9)
+
+    res = parse_jats(G.make_jats_xml(5))  # paren_initials
+    assert G.corresp_shape_of(5) == "paren_initials"
+    assert res["corr_email_keys"] == [G.initials_of(5, G.corr_author_idx(5))]
+    assert res["corr_emails"] == [G.corr_email_of(5)]
+
+    res = parse_jats(G.make_jats_xml(11))  # fn_note
+    assert G.corresp_shape_of(11) == "fn_note"
+    assert res["corr_email_keys"] == ["cor1"]
+    corr_i = G.corr_author_idx(11)
+    assert res["author_affiliations"][corr_i].endswith(
+        "; " + G.fn_note_text_of(11)
+    )
+    # non-corr authors carry no footnote suffix
+    for i, aa in enumerate(res["author_affiliations"]):
+        if i != corr_i:
+            assert "Current address" not in aa
+
+    res = parse_jats(G.make_jats_xml(7))  # regex_fallback
+    assert G.corresp_shape_of(7) == "regex_fallback"
+    assert res["corr_email_keys"] == ["cor001"]
+    assert res["corr_emails"] == [G.corr_email_of(7)]
+
+    # every shape resolves the corresponding author's surname
+    for a in (5, 6, 7, 8, 9, 11):
+        res = parse_jats(G.make_jats_xml(a))
+        assert res["corr_author_surname"] == G.surname_of(
+            a, G.corr_author_idx(a)
+        ), (a, G.corresp_shape_of(a))
