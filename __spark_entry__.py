@@ -666,6 +666,18 @@ def _q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, jaccard_threshold=0.5, shingle_k=3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: minhash verified pairs → distributed
+    connected components (iterative min-label propagation) → every
+    clustered doc labeled with its canonical min-id group. The piece a
+    training-data dedup actually keys its keep-one-per-group filter on;
+    oracle = independent pure-Python union-find (tools/gen_expected.py)."""
+    from review_crawler_spark.operators.components import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_clusters(d, jaccard_threshold=0.5, shingle_k=3)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (pandas-UDF hash — no SQL oracle)."""
     d = load(spark, sf_dir, "documents")
@@ -1385,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "jats_parse_roundtrip": _q_jats_parse,
@@ -1492,6 +1505,11 @@ def _expected_values_oracles() -> dict[str, str]:
             doc_gate,
             ["CAST(? AS BIGINT) AS id_a", "CAST(? AS BIGINT) AS id_b",
              "CAST(? AS INT) AS hamming"],
+        ),
+        "dedup_clusters": (
+            doc_gate,
+            ["CAST(? AS BIGINT) AS doc_id", "CAST(? AS BIGINT) AS cluster_id",
+             "CAST(? AS INT) AS cluster_size"],
         ),
         "ann_topk_lsh": (
             ann_gate,

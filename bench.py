@@ -218,9 +218,15 @@ def run_bench(cpus: int) -> dict:
     }
     # best-of-2 like bench_query: single runs intermittently absorb the
     # host's page-fault storms (BENCH_SCALING.md diagnosis)
-    frontier_s, n_out = bench_frontier_pipeline(spark, FRONTIER_N)
-    frontier_s2, _ = bench_frontier_pipeline(spark, FRONTIER_N)
-    frontier_s = min(frontier_s, frontier_s2)
+    # best-of-3 for the HEADLINE metric: this host's page-fault storms
+    # inflate individual runs 3-6x with zero local load (measured 14.5/27.5/
+    # 25.3/18.2/18.9 s back-to-back for an identical job that runs in <5 s
+    # healthy — see BENCH_SCALING.md diagnosis); the minimum is the
+    # least-stalled estimate and one extra run meaningfully improves the
+    # odds of catching a quiet window
+    runs = [bench_frontier_pipeline(spark, FRONTIER_N) for _ in range(3)]
+    frontier_s = min(s for s, _ in runs)
+    n_out = runs[0][1]
     queries["frontier_pipeline"] = round(frontier_s, 3)
     # best-of-2 like every other entry: round 2 recorded a single cold run
     # that absorbed a host page-fault storm and read as a 2.2x engine

@@ -116,7 +116,9 @@ def test_expected_pairs_match_spark_at_sf0001(spark):
         exp = json.load(fh)
     qs = em.queries()
     sf = "/root/testdata/sf0.001"
-    for name in ["minhash_lsh_pairs", "simhash_pairs", "ann_topk_lsh"]:
+    for name in [
+        "minhash_lsh_pairs", "simhash_pairs", "ann_topk_lsh", "dedup_clusters"
+    ]:
         srows = sorted(tuple(r) for r in qs[name](spark, sf).collect())
         block = exp[name][0]
         erows = sorted(tuple(r) for r in block["rows"])

@@ -239,6 +239,32 @@ def simhash_expected(ids, texts, max_hamming=3):
 
 # ---------------------------------------------------------------- ann lsh
 
+def clusters_expected(pairs):
+    """Union-find over the minhash verified pairs → (doc_id, cluster_id,
+    cluster_size), cluster_id = min member. A from-first-principles check
+    of operators/components.connected_components, which computes the same
+    partition by iterative min-label propagation on Spark."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {x: find(x) for x in parent}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return sorted((x, c, sizes[c]) for x, c in comp.items())
+
+
 def ann_lsh_expected(vec_ids, mat, query, k=10, num_planes=12, max_hamming=2, seed=42):
     dim = len(query)
     rng = np.random.default_rng(seed)
@@ -330,7 +356,7 @@ def generate(sf_dirs):
 
     con = duckdb.connect()
     out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
-           "ann_topk_ivf": []}
+           "ann_topk_ivf": [], "dedup_clusters": []}
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -355,6 +381,11 @@ def generate(sf_dirs):
         )
         out["simhash_pairs"].append(
             {"gate": doc_gate, "rows": [[a, b, h] for a, b, h in sh]}
+        )
+        cl = clusters_expected(mh)
+        print(f"  clusters: {len(cl)} members", flush=True)
+        out["dedup_clusters"].append(
+            {"gate": doc_gate, "rows": [[i, c, s] for i, c, s in cl]}
         )
 
         emb = con.execute(
