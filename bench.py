@@ -211,6 +211,7 @@ def run_bench(cpus: int) -> dict:
         "ann_topk": round(bench_query(spark, "ann_topk"), 3),
         "sessionize": round(bench_query(spark, "sessionize"), 3),
         "minhash_lsh_pairs": round(bench_query(spark, "minhash_lsh_pairs"), 3),
+        "dedup_clusters": round(bench_query(spark, "dedup_clusters"), 3),
         "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),
