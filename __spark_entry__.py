@@ -697,6 +697,41 @@ def _q_ann_ivf(spark, sf_dir):
     return S.ann_topk_ivf(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """PERSISTED IVF index: inverted lists materialized as bucket-partitioned
+    parquet + centroid sidecar; the probe is a partition filter, so the
+    query scan reads nprobe/n_centroids of the files — no assignment pass.
+    Identical training recipe and output to ann_topk_ivf (shares its
+    oracle rows); partition pruning pinned by tests/test_similarity_index.py."""
+    import hashlib as _h
+    import os as _os
+
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    key = _h.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    path = f"/tmp/ivf_index_{key}"
+    if not _os.path.exists(_os.path.join(path, "_centroids.json")):
+        write_ivf_index(load(spark, sf_dir, "embeddings"), path)
+    return ann_topk_ivf_indexed(spark, path, ANN_QUERY, k=10).select(
+        "vec_id", "cosine"
+    )
+
+
+def _q_dedup_clusters_star(spark, sf_dir):
+    """dedup_clusters with the large-star/small-star components engine —
+    the O(log² n)-round path for adversarial cluster topologies; identical
+    partition to the propagation engine (shares its oracle rows)."""
+    from review_crawler_spark.operators.components import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_clusters(
+        d, jaccard_threshold=0.5, shingle_k=3, algorithm="star"
+    )
+
+
 def _q_jats_parse(spark, sf_dir):
     """U1 JATS parse round-trip: generate a deterministic JATS corpus from
     doc_ids, parse with the batch UDF, emit scalar fields. The oracle
@@ -1400,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
@@ -1541,4 +1578,12 @@ def _expected_values_oracles() -> dict[str, str]:
             f"t(gate, " + ", ".join(col_names) + ") "
             f"WHERE gate = {gate_expr}"
         )
+    # variant queries that must produce IDENTICAL output to their base
+    # operator share its expectation rows — a divergence is a failure
+    for alias, base in (
+        ("ann_topk_ivf_indexed", "ann_topk_ivf"),
+        ("dedup_clusters_star", "dedup_clusters"),
+    ):
+        if base in out:
+            out[alias] = out[base]
     return out

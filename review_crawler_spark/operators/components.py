@@ -74,6 +74,113 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14): the
+    adversarial-graph variant of :func:`connected_components`.
+
+    Min-label propagation needs diameter-many rounds — fine for dense
+    near-dup clusters, pathological for a 10^9-node chain. Star operations
+    contract the graph toward a forest of depth-1 stars in O(log² n)
+    rounds regardless of diameter:
+
+    - large-star: for each edge (u, v) with v > u, link v to the minimum
+      neighbor-or-self of u — strictly-larger nodes re-hang under their
+      neighborhood's minimum;
+    - small-star: for each edge with v ≤ u, link v to the minimum — ties
+      the small side into the same star.
+
+    Each star round is one groupBy-min + one join over the directed edge
+    list (the same shuffle shape as a propagation round, but round count
+    is O(log² n) instead of O(diameter)); convergence = the undirected
+    edge set reaches a fixpoint (a forest of depth-1 stars rooted at
+    component minima). Output matches connected_components exactly (tests
+    pin equality on assorted topologies)."""
+
+    def directed(e: DataFrame) -> DataFrame:
+        """Both orientations of an undirected pair list: each edge is then
+        processed from both endpoints' perspectives, which is what lets a
+        star round emit only its 'moved' side without losing edges."""
+        return (
+            e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    def mins_of(d: DataFrame) -> DataFrame:
+        """m(u) = min(Γ(u) ∪ {u})."""
+        with_self = d.unionByName(
+            d.select("u").distinct().withColumn("v", F.col("u"))
+        )
+        return with_self.groupBy("u").agg(F.min("v").alias("m"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        d = directed(e)
+        j = d.join(mins_of(d), "u")
+        # (v, m(u)) for strictly larger neighbors; the v ≤ u orientation of
+        # every edge is handled when the edge is processed from its other
+        # endpoint
+        return (
+            j.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = directed(e)
+        dd = d.filter(F.col("v") <= F.col("u"))
+        with_self = dd.unionByName(
+            d.select("u").distinct().withColumn("v", F.col("u"))
+        )
+        mins = with_self.groupBy("u").agg(F.min("v").alias("m"))
+        hang = with_self.join(mins, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        return (
+            hang.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node universe BEFORE dropping self-loops: a pure (x, x) edge still
+    # names x as a (singleton) component member
+    all_nodes = (
+        directed(raw).select(F.col("u").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = small_star(large_star(e))
+        # set fixpoint signature: count + order-insensitive hash checksum
+        sig = tuple(
+            e.agg(
+                F.count("*").alias("n"),
+                # decimal sum: a long sum of 64-bit hashes overflows ANSI
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint edges are (member, root); roots map to themselves
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return all_nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -82,13 +189,18 @@ def dedup_clusters(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: minhash+LSH verified pairs → connected
     components → (doc_id, cluster_id, cluster_size). cluster_id is the
     smallest doc id in the group (the canonical survivor under a
     keep-min-id policy); only documents with at least one near-duplicate
     appear (singletons are their own trivial cluster and are left out of
-    the output, like the pair operators)."""
+    the output, like the pair operators). ``algorithm`` picks the
+    components engine: "propagation" (O(diameter) rounds — the default;
+    near-dup clusters are dense) or "star" (large-star/small-star,
+    O(log² n) rounds — the adversarial-topology path); both produce the
+    identical partition."""
     from .dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(
@@ -100,7 +212,12 @@ def dedup_clusters(
         shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold,
     )
-    comps = connected_components(pairs, "id_a", "id_b")
+    cc = (
+        connected_components_star
+        if algorithm == "star"
+        else connected_components
+    )
+    comps = cc(pairs, "id_a", "id_b")
     sizes = comps.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     )

@@ -58,3 +58,32 @@ def test_dedup_clusters_on_synthetic_docs(spark):
         (0, 0, 3), (1, 0, 3), (2, 0, 3),
         (10, 10, 2), (11, 10, 2),
     }
+
+
+def test_star_variant_matches_propagation(spark):
+    """large-star/small-star partitions == min-label propagation partitions
+    on assorted topologies (chain, stars, parallel components, dups)."""
+    from review_crawler_spark.operators.components import (
+        connected_components_star,
+    )
+
+    graphs = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(15)],              # long chain
+        [(0, i) for i in range(1, 8)] + [(20, 21)],   # hub + pair
+        [(2, 1), (3, 2), (5, 7), (5, 7), (9, 9)],     # dups + self-loop
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = {
+            (r["id"], r["component"])
+            for r in __import__(
+                "review_crawler_spark.operators.components",
+                fromlist=["connected_components"],
+            ).connected_components(df).collect()
+        }
+        star = {
+            (r["id"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == prop, edges
