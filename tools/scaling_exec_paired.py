@@ -99,20 +99,32 @@ def main() -> None:
     scaling_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
     pairs = []
     for rep in range(reps):
+        # SANDWICH estimator (t1 → t4 → t1): the plain adjacent pair
+        # assumes conditions are stationary across its two runs, and the
+        # host broke that both ways (pair_eff 0.26 when the storm hit t4,
+        # 1.47 when it hit t1). Bracketing t4 with two t1 measurements and
+        # using the smaller bracket bounds the estimate by the quieter
+        # neighboring window on the single-executor side.
         settle()
         wait_idle()
-        s1 = run(1, scaling_n)
+        s1a = run(1, scaling_n)
         settle()
         wait_idle()
         s4 = run(4, scaling_n)
-        if s1 and len(s4) == 4:
+        settle()
+        wait_idle()
+        s1b = run(1, scaling_n)
+        if s1a and s1b and len(s4) == 4:
+            t1 = min(min(s1a), min(s1b))
             pairs.append(
                 {
                     "rep": rep,
-                    "t1": s1[0],
+                    "estimator": "sandwich",
+                    "t1": t1,
+                    "t1_brackets": [min(s1a), min(s1b)],
                     "t4": max(s4),
                     "per_exec": s4,
-                    "pair_eff": round(min(s1) / max(s4), 3),
+                    "pair_eff": round(t1 / max(s4), 3),
                 }
             )
             print(json.dumps(pairs[-1]), flush=True)
