@@ -711,7 +711,14 @@ def _q_ann_ivf_indexed(spark, sf_dir):
         write_ivf_index,
     )
 
-    key = _h.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    # cache key = CONTENT fingerprint (path + size + mtime of the source
+    # parquet), not the path alone — a regenerated dataset at the same
+    # path must invalidate the persisted index (round-3 ADVICE)
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    key = _h.md5(
+        f"{sf_dir.rstrip('/')}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     path = f"/tmp/ivf_index_{key}"
     if not _os.path.exists(_os.path.join(path, "_centroids.json")):
         write_ivf_index(load(spark, sf_dir, "embeddings"), path)

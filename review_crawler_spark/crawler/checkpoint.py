@@ -108,6 +108,9 @@ class SnapshotStore:
         tbl = self.table_name(name)
         if spark.catalog.tableExists(tbl):
             return tbl
+        # first-ever append registers before any data lands — MSCK requires
+        # the location to be listable
+        (self.base / name).mkdir(parents=True, exist_ok=True)
         spec = json.loads(self._spec_path(name).read_text())
         cols = ", ".join(f"{c} {t}" for c, t in spec["columns"])
         bucket_cols = ", ".join(spec["bucket_cols"])
@@ -152,8 +155,12 @@ class SnapshotStore:
             tmp = spec_path.with_suffix(".tmp")
             tmp.write_text(json.dumps(spec))
             os.rename(tmp, spec_path)
-        if spark.catalog.tableExists(tbl):
-            spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wave})")
+        # re-register via the spec (NOT a bare tableExists check): in a fresh
+        # session an append-before-any-read would otherwise recreate the
+        # table knowing only the current wave's partition, silently hiding
+        # every prior delta from read_bucketed_deltas (round-3 ADVICE)
+        self.ensure_bucketed_registered(spark, name)
+        spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wave})")
         wdir = loc / f"w={wave}"
         if wdir.exists():
             shutil.rmtree(wdir)

@@ -24,6 +24,8 @@ DataFrame expression changes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,27 +52,43 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    label_t = dict(labels.dtypes)["label"]
+    converged = False
     for _ in range(max_iters):
-        # candidate labels: own label + every neighbor's label, keep min
+        # candidate labels: own label + every neighbor's label, keep min.
+        # The old label rides along as ``own`` (max over {old, nulls} = old,
+        # every id contributes its own row exactly once), so convergence is
+        # a 1-row aggregate over the checkpointed result instead of a
+        # join-back against the previous labels (one join per round saved)
         via_nbr = (
             sym.join(labels, sym.t == labels.id)
-            .select(F.col("s").alias("id"), "label")
+            .select(
+                F.col("s").alias("id"), "label",
+                F.lit(None).cast(label_t).alias("own"),
+            )
         )
         new_labels = (
-            labels.unionByName(via_nbr)
+            labels.select("id", "label", F.col("label").alias("own"))
+            .unionByName(via_nbr)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("own").alias("own"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum((F.col("label") != F.col("own")).cast("int")).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.select("id", "label")
+        if not changed:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iters} iterations"
+            " — returned labels may be unconverged (raise max_iters or use"
+            " connected_components_star)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -161,6 +179,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         e = small_star(large_star(e))
         # set fixpoint signature: count + order-insensitive hash checksum
@@ -172,8 +191,17 @@ def connected_components_star(
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: edge set did not reach a fixpoint"
+            f" after {max_rounds} rounds — returned labels may be"
+            " unconverged (raise max_rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixpoint edges are (member, root); roots map to themselves
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
     return all_nodes.join(labels, "id", "left").select(

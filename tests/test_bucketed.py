@@ -45,3 +45,31 @@ def test_cobucketed_join_plans_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_frontier")
         spark.sql("DROP TABLE IF EXISTS t_seen")
+
+
+def test_append_before_read_in_fresh_catalog(spark, tmp_path):
+    """Round-3 ADVICE (medium): after a catalog loss (fresh session), an
+    APPEND issued before any read must re-register the table from the
+    on-disk spec — with the old bare tableExists check, saveAsTable
+    recreated the table knowing only the new wave's partition and every
+    prior delta silently vanished from read_bucketed_deltas."""
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+
+    store = SnapshotStore(tmp_path / "store")
+    w0 = spark.createDataFrame(
+        [(1, "https://a/1"), (2, "https://a/2")],
+        "url_hash long, canonical_url string",
+    )
+    store.append_delta_bucketed("t", 0, w0, ("url_hash", "canonical_url"), 4)
+    # simulate the fresh session: in-memory catalog loses the table
+    spark.sql(f"DROP TABLE IF EXISTS {store.table_name('t')}")
+    w1 = spark.createDataFrame(
+        [(3, "https://a/3")], "url_hash long, canonical_url string"
+    )
+    store.append_delta_bucketed("t", 1, w1, ("url_hash", "canonical_url"), 4)
+    got = {
+        r["url_hash"]
+        for r in store.read_bucketed_deltas(spark, "t", 1).collect()
+    }
+    assert got == {1, 2, 3}
+    spark.sql(f"DROP TABLE IF EXISTS {store.table_name('t')}")

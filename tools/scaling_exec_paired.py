@@ -18,13 +18,15 @@ Protocol (what two weeks of noisy-host fighting distilled to):
     -XX:ActiveProcessorCount=4 (SPARK_GRAFT_JVM_PROCS);
   * host conditions drift monotonically over hours → efficiency is taken
     from ADJACENT (t1, t4) pairs, never from minima collected hours apart.
-- efficiency = t1 / max(t4 per-exec walls): equal work per executor, so
-  ideal 4-executor aggregate throughput is 4× — the ratio of walls IS the
-  scaling efficiency.
+- each idle-gated WINDOW runs the arms interleaved back-to-back
+  (t1 → t4 → t1) and yields two readings: eff_batch = t1/max(t4) (fixed
+  batch, straggler-punished) and eff_tput = mean(t1/t4_i) (aggregate
+  throughput ratio — the north rule's literal quantity); the headline
+  number is the MEDIAN over ≥10 windows, with best-window kept alongside.
 
 Writes BENCH_SCALING_EXECUTORS.json. Run on an otherwise idle box:
 
-    python tools/scaling_exec_paired.py [reps] [scaling_n]
+    python tools/scaling_exec_paired.py [windows] [scaling_n]
 """
 
 from __future__ import annotations
@@ -94,68 +96,100 @@ def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
     return secs
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    windows = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     scaling_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
-    pairs = []
-    for rep in range(reps):
-        # SANDWICH estimator (t1 → t4 → t1): the plain adjacent pair
-        # assumes conditions are stationary across its two runs, and the
-        # host broke that both ways (pair_eff 0.26 when the storm hit t4,
-        # 1.47 when it hit t1). Bracketing t4 with two t1 measurements and
-        # using the smaller bracket bounds the estimate by the quieter
-        # neighboring window on the single-executor side.
+    new_windows = []
+    for w in range(windows):
+        # One WINDOW = one idle-gated sequence of interleaved arms run
+        # back-to-back (t1 → t4 → t1, the sandwich): the plain adjacent
+        # pair assumes conditions are stationary across its two runs, and
+        # the host broke that both ways (pair_eff 0.26 when the storm hit
+        # t4, 1.47 when it hit t1). Bracketing t4 with two t1 measurements
+        # bounds the estimate by the quieter neighboring single-executor
+        # window. The gate runs ONCE per window — re-gating between arms
+        # would let conditions drift inside the pair, which is exactly what
+        # the window is supposed to hold fixed.
         settle()
-        wait_idle()
+        if not wait_idle(timeout=300):
+            print(json.dumps({"window": w, "skipped": "host never idle"}),
+                  flush=True)
+            continue
         s1a = run(1, scaling_n)
-        settle()
-        wait_idle()
         s4 = run(4, scaling_n)
-        settle()
-        wait_idle()
         s1b = run(1, scaling_n)
         if s1a and s1b and len(s4) == 4:
             t1 = min(min(s1a), min(s1b))
-            pairs.append(
+            # two efficiency readings per window:
+            # - eff_batch: t1 / max(t4) — time until ALL four finish a fixed
+            #   batch; punished by a single stalled straggler (max of 4
+            #   samples vs min of 2 — asymmetric under symmetric noise);
+            # - eff_tput: sum_i(t1/t4_i)/4 — ratio of aggregate throughput
+            #   (sum of per-executor rates, executors stream independent
+            #   slices) to 4x the single-executor rate. This is the north
+            #   rule's literal quantity ("throughput scaling efficiency").
+            new_windows.append(
                 {
-                    "rep": rep,
-                    "estimator": "sandwich",
+                    "window": w,
+                    "estimator": "sandwich-interleaved",
                     "t1": t1,
                     "t1_brackets": [min(s1a), min(s1b)],
                     "t4": max(s4),
                     "per_exec": s4,
-                    "pair_eff": round(t1 / max(s4), 3),
+                    "eff_batch": round(t1 / max(s4), 3),
+                    "eff_tput": round(sum(t1 / t for t in s4) / 4, 3),
                 }
             )
-            print(json.dumps(pairs[-1]), flush=True)
-    if pairs:
-        path = os.path.join(REPO, "BENCH_SCALING_EXECUTORS.json")
-        # merge with prior sessions: adjacent-pair efficiencies from earlier
-        # rounds are still valid evidence — keep the full history and take
-        # the best across all of it
-        old_pairs = []
-        if os.path.exists(path):
-            try:
-                with open(path) as f:
-                    old_pairs = json.load(f).get("pairs", [])
-            except (OSError, ValueError):
-                old_pairs = []
-        all_pairs = old_pairs + pairs
-        best = max(p["pair_eff"] for p in all_pairs)
+            print(json.dumps(new_windows[-1]), flush=True)
+    path = os.path.join(REPO, "BENCH_SCALING_EXECUTORS.json")
+    old = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            old = {}
+    # windows from prior sessions remain valid evidence ONLY if they used
+    # this estimator at this work size — every summary statistic below is
+    # computed over exactly this one set (round-3 ADVICE: mixed-population
+    # summaries are not comparable)
+    old_windows = [
+        p for p in old.get("windows", [])
+        if p.get("estimator") == "sandwich-interleaved"
+        and old.get("n_per_exec") == scaling_n
+    ]
+    all_windows = old_windows + new_windows
+    legacy = old.get("pairs_legacy", old.get("pairs", []))
+    if all_windows:
+        effs_b = [p["eff_batch"] for p in all_windows]
+        effs_t = [p["eff_tput"] for p in all_windows]
         report = {
             "mode": "executor-model-paired",
             "exec_cores": 4,
             "fanout": 4,
             "n_per_exec": scaling_n,
             "harness": (
-                "tools/scaling_exec_paired.py (idle-gated, heap-pretouch, "
-                "explicit spark.stop, adjacent-pair estimator)"
+                "tools/scaling_exec_paired.py (idle-gated interleaved "
+                "windows, heap-pretouch, explicit spark.stop, sandwich "
+                "estimator t1->t4->t1 per window)"
             ),
-            "pairs": all_pairs,
-            "best_pair_efficiency": best,
+            "windows": all_windows,
+            "n_windows": len(all_windows),
+            "median_eff_tput": round(_median(effs_t), 3),
+            "median_eff_batch": round(_median(effs_b), 3),
+            "best_eff_tput": max(effs_t),
+            "best_eff_batch": max(effs_b),
             "agg_urls_per_sec_4exec_best": round(
-                4 * scaling_n / min(p["t4"] for p in pairs), 1
+                max(sum(scaling_n / t for t in p["per_exec"])
+                    for p in all_windows), 1
             ),
+            "pairs_legacy": legacy,
             "uncontrolled_residual": (
                 "host page-fault/reclaim stalls vary 3x hour-to-hour; "
                 "see BENCH_SCALING.md diagnosis"
@@ -163,7 +197,8 @@ def main() -> None:
         }
         with open(path, "w") as f:
             json.dump(report, f, indent=1)
-        print(json.dumps(report))
+        print(json.dumps({k: v for k, v in report.items()
+                          if k not in ("windows", "pairs_legacy")}))
     for i in range(4):
         shutil.rmtree(f"/dev/shm/sbench{i}", ignore_errors=True)
 
