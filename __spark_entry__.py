@@ -697,23 +697,16 @@ def _q_ann_ivf(spark, sf_dir):
     return S.ann_topk_ivf(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
-def _q_ann_ivf_indexed(spark, sf_dir):
-    """PERSISTED IVF index: inverted lists materialized as bucket-partitioned
-    parquet + centroid sidecar; the probe is a partition filter, so the
-    query scan reads nprobe/n_centroids of the files — no assignment pass.
-    Identical training recipe and output to ann_topk_ivf (shares its
-    oracle rows); partition pruning pinned by tests/test_similarity_index.py."""
+def _ensure_ivf_index(spark, sf_dir) -> str:
+    """Build-once persisted IVF index for sf_dir; cache key = CONTENT
+    fingerprint (path + size + mtime of the source parquet), not the path
+    alone — a regenerated dataset at the same path must invalidate the
+    persisted index (round-3 ADVICE)."""
     import hashlib as _h
     import os as _os
 
-    from review_crawler_spark.operators.similarity import (
-        ann_topk_ivf_indexed,
-        write_ivf_index,
-    )
+    from review_crawler_spark.operators.similarity import write_ivf_index
 
-    # cache key = CONTENT fingerprint (path + size + mtime of the source
-    # parquet), not the path alone — a regenerated dataset at the same
-    # path must invalidate the persisted index (round-3 ADVICE)
     src = _os.path.join(sf_dir, "embeddings.parquet")
     st = _os.stat(src)
     key = _h.md5(
@@ -722,9 +715,44 @@ def _q_ann_ivf_indexed(spark, sf_dir):
     path = f"/tmp/ivf_index_{key}"
     if not _os.path.exists(_os.path.join(path, "_centroids.json")):
         write_ivf_index(load(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """PERSISTED IVF index: inverted lists materialized as bucket-partitioned
+    parquet + centroid sidecar; the probe is a partition filter, so the
+    query scan reads nprobe/n_centroids of the files — no assignment pass.
+    Identical training recipe and output to ann_topk_ivf (shares its
+    oracle rows); partition pruning pinned by tests/test_similarity_index.py."""
+    from review_crawler_spark.operators.similarity import ann_topk_ivf_indexed
+
+    path = _ensure_ivf_index(spark, sf_dir)
     return ann_topk_ivf_indexed(spark, path, ANN_QUERY, k=10).select(
         "vec_id", "cosine"
     )
+
+
+def _q_ann_ivf_indexed_batch(spark, sf_dir):
+    """BATCH multi-query probe over the persisted IVF index — the shape a
+    training pipeline runs (near-dup a crawl slice against the corpus):
+    one Arrow pass assigns every query its nprobe lists, the index scan is
+    partition-pruned to the union of probed buckets, candidates join on
+    bucket, per-query windowed top-k. Queries = the 3 smallest vec_ids'
+    own embeddings; oracle = pure-Python lock-step IVF replica
+    (tools/gen_expected.ann_ivf_batch_expected)."""
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivf_indexed_batch,
+    )
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_topk_ivf_indexed_batch(
+        spark, path, queries, k=10, nprobe=4
+    ).select("query_id", "vec_id", "cosine")
 
 
 def _q_dedup_clusters_star(spark, sf_dir):
@@ -736,6 +764,47 @@ def _q_dedup_clusters_star(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup_clusters(
         d, jaccard_threshold=0.5, shingle_k=3, algorithm="star"
+    )
+
+
+def _q_pipeline_dedup_canonical(spark, sf_dir):
+    """END-TO-END composition of the two operator families (round-3 VERDICT
+    #7): corpus (the fetched-text table — the engine's fetched_log→parse
+    output shape, whose engine-side production is golden-tested in
+    tests/test_crawl_golden.py) → minhash near-dup CLUSTERS → keep one
+    canonical doc per cluster (min-id survivor policy) → per-host
+    politeness-budgeted re-crawl schedule of the survivors using the
+    engine's exact scheduling contract (priority DESC, seq ASC, top-8 per
+    host — scheduler._schedule's W2/O3 window). Oracle = DuckDB twin with
+    the cluster set injected as the independently-computed union-find
+    expectation (tools/gen_expected.py)."""
+    from review_crawler_spark.operators.components import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(d, jaccard_threshold=0.5, shingle_k=3)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    survivors = d.join(losers, "doc_id", "left_anti")
+    frontier = survivors.select(
+        F.format_string(
+            "h%d.example.org", (F.col("doc_id") % 20).cast("int")
+        ).alias("host"),
+        F.format_string(
+            "https://h%d.example.org/doc/%d",
+            (F.col("doc_id") % 20).cast("int"), F.col("doc_id"),
+        ).alias("url"),
+        F.col("n_chars").cast("long").alias("priority"),
+        F.col("doc_id").alias("seq"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+    return (
+        frontier.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select(
+            "host", F.col("seq").alias("doc_id"), "url", "priority",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
@@ -1443,7 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
+        "ann_topk_ivf_batch": _q_ann_ivf_indexed_batch,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "pipeline_dedup_canonical_schedule": _q_pipeline_dedup_canonical,
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
@@ -1563,6 +1634,11 @@ def _expected_values_oracles() -> dict[str, str]:
             ann_gate,
             ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
         ),
+        "ann_topk_ivf_batch": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS query_id", "CAST(? AS BIGINT) AS vec_id",
+             "CAST(? AS DOUBLE) AS cosine"],
+        ),
     }
     out: dict[str, str] = {}
     for name, (gate_expr, col_casts) in specs.items():
@@ -1593,4 +1669,42 @@ def _expected_values_oracles() -> dict[str, str]:
     ):
         if base in out:
             out[alias] = out[base]
+    # END-TO-END pipeline twin: the dedup-cluster expectation (independent
+    # union-find) composes with plain SQL over documents — survivors =
+    # docs minus non-canonical cluster members, then the engine's exact
+    # politeness-schedule window over the survivors
+    if exp.get("dedup_clusters"):
+        cl_rows = []
+        for block in exp["dedup_clusters"]:
+            g = block["gate"]
+            for row in block["rows"]:
+                cl_rows.append(f"('{g}', {row[0]}, {row[1]})")
+        out["pipeline_dedup_canonical_schedule"] = f"""
+WITH clusters AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(cluster_id AS BIGINT) AS cluster_id
+  FROM (VALUES {', '.join(cl_rows)}) AS t(gate, doc_id, cluster_id)
+  WHERE gate = {doc_gate}
+), survivors AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d
+  LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id) l
+    USING (doc_id)
+  WHERE l.doc_id IS NULL
+), frontier AS (
+  SELECT printf('h%d.example.org', CAST(doc_id % 20 AS INT)) AS host,
+         printf('https://h%d.example.org/doc/%d',
+                CAST(doc_id % 20 AS INT), doc_id) AS url,
+         CAST(n_chars AS BIGINT) AS priority, doc_id AS seq
+  FROM survivors
+), ranked AS (
+  SELECT host, url, priority, seq,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority DESC, seq ASC) AS INT)
+           AS rk
+  FROM frontier
+)
+SELECT host, CAST(seq AS BIGINT) AS doc_id, url, priority, rk
+FROM ranked WHERE rk <= 8
+"""
     return out

@@ -215,6 +215,10 @@ def run_bench(cpus: int) -> dict:
         "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),
+        "ann_topk_ivf_batch": round(bench_query(spark, "ann_topk_ivf_batch"), 3),
+        "pipeline_dedup_canonical_schedule": round(
+            bench_query(spark, "pipeline_dedup_canonical_schedule"), 3
+        ),
         "image_decode_20k": round(bench_image_decode(spark), 3),
     }
     # best-of-2 like bench_query: single runs intermittently absorb the
@@ -234,12 +238,17 @@ def run_bench(cpus: int) -> dict:
     # regression — pairs of runs separate engine changes from host weather
     eng_s, eng_urls = bench_engine_waves(spark)
     eng_s2, _ = bench_engine_waves(spark)
+    eng_runs = [round(eng_s, 3), round(eng_s2, 3)]
     eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
     urls_per_sec = FRONTIER_N / frontier_s
     return {
         "engine_urls_per_sec": round(eng_urls / eng_s, 1),
         "engine_urls": eng_urls,
+        # both walls recorded so cold-vs-warm is distinguishable post hoc
+        # (round-3 VERDICT #8) — same for the headline's three runs
+        "engine_waves_runs": eng_runs,
+        "frontier_pipeline_runs": [round(s, 3) for s, _ in runs],
         "metric": "frontier_urls_scheduled_fetched_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",

@@ -80,6 +80,24 @@ class SnapshotStore:
 
         return df.filter(F.col("w") <= up_to_wave).drop("w")
 
+    def read_deltas_lww(
+        self, spark: SparkSession, name: str, up_to_wave: int, key: str
+    ) -> DataFrame:
+        """Last-writer-wins view over per-wave deltas: for each key, the
+        row from the highest committed wave ≤ up_to_wave. This is how the
+        bloom shards reconstruct from per-wave TOUCHED-shard deltas — each
+        wave persists only the shards its admissions changed (O(touched ·
+        shard_bytes) write I/O), and readers resolve the newest version per
+        shard instead of expecting a full snapshot anywhere."""
+        base = self.base / name
+        df = spark.read.option("basePath", str(base)).parquet(str(base))
+        vals = [c for c in df.columns if c not in (key, "w")]
+        return (
+            df.filter(F.col("w") <= up_to_wave)
+            .groupBy(key)
+            .agg(*[F.max_by(c, "w").alias(c) for c in vals])
+        )
+
     # -------------------------------------------------- bucketed deltas
     # Same append-only per-wave delta growth as append_delta, but through a
     # catalog table PARTITIONED BY (w) and CLUSTERED BY the join key, so a
@@ -195,6 +213,42 @@ class SnapshotStore:
         """Exactly one wave's delta — a single pruned partition read."""
         tbl = self.ensure_bucketed_registered(spark, name)
         return spark.table(tbl).filter(F.col("w") == wave).drop("w")
+
+    def has_bucketed(self, name: str) -> bool:
+        return self._spec_path(name).exists()
+
+    def read_bucketed_deltas_range(
+        self, spark: SparkSession, name: str, from_wave: int, up_to_wave: int
+    ) -> DataFrame:
+        """Committed deltas with from ≤ w ≤ up_to (partition-pruned both
+        ends) — the frontier-log read: appends since the last compaction
+        baseline, never the table's full history."""
+        tbl = self.ensure_bucketed_registered(spark, name)
+        return (
+            spark.table(tbl)
+            .filter((F.col("w") >= from_wave) & (F.col("w") <= up_to_wave))
+            .drop("w")
+        )
+
+    def drop_bucketed_partitions_below(
+        self, spark: SparkSession, name: str, wave: int
+    ) -> int:
+        """GC partitions w < wave (post-compaction cleanup — the delta-log
+        analog of Iceberg snapshot expiry). Callers must only pass a
+        ``wave`` at or below a COMMITTED compaction baseline: partitions
+        below it are unreadable by any resume path, so dropping them can
+        never lose state."""
+        if not self.has_bucketed(name):
+            return 0
+        tbl = self.ensure_bucketed_registered(spark, name)
+        dropped = 0
+        for p in (self.base / name).glob("w=*"):
+            wv = int(p.name.split("=")[1])
+            if wv < wave:
+                spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wv})")
+                shutil.rmtree(p, ignore_errors=True)
+                dropped += 1
+        return dropped
 
     # ----------------------------------------------------------- resume
     def latest_wave(self) -> int | None:

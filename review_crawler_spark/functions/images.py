@@ -1,19 +1,21 @@
 """Image payload functions: deterministic codec, decode UDF, phash, PSNR.
 
 The input_hint payload is an image+caption table
-``(image_id, bytes, w, h, fmt, caption, phash)``. The sandbox has no
-PIL/libjpeg, so real PNG/JPEG codecs are stubbed (see ``decode_real``) and
-replaced by a deterministic pure-numpy codec with the same *shape*:
+``(image_id, bytes, w, h, fmt, caption, phash)``. Formats:
 
-- ``png``  — lossless: zlib over raw RGB bytes
-- ``jpeg`` — lossy: uniform quantization (step 4) + zlib → PSNR ≈ 46 dB,
-             above the 40 dB invariant for lossy formats
-- ``gif``  — lossy: quantization step 2 → PSNR ≈ 52 dB
+- ``png``  — REAL PNG bitstream via the pure-Python codec in
+             functions/png.py (public PNG spec, zlib + numpy — lossless,
+             decodable by any standard viewer);
+- ``jpeg`` — no libjpeg in the sandbox: deterministic stand-in (uniform
+             quantization step 4 + zlib, RCSI container) → PSNR ≈ 46 dB,
+             above the 40 dB invariant for lossy formats;
+- ``gif``  — stand-in, quantization step 2 → PSNR ≈ 52 dB.
 
 The Spark-side plumbing — schema, Arrow batching, mapInPandas signature,
-partitioning — is real and tested; only the codec bitstream is synthetic.
-Per-row invariants vs the reference extraction (BASELINE.json input_hint):
-decoded-pixel allclose (PSNR ≥ 40 dB for lossy), exact caption equality.
+partitioning — is real and tested; the PNG branch is a real codec
+end-to-end, only jpeg/gif bitstreams are synthetic. Per-row invariants vs
+the reference extraction (BASELINE.json input_hint): decoded-pixel
+allclose (PSNR ≥ 40 dB for lossy), exact caption equality.
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .png import PNG_SIG, decode_png, encode_png
+
 _MAGIC = b"RCSI"  # review_crawler_spark image
 _QUANT = {"png": 1, "jpeg": 4, "gif": 2}
 
@@ -35,7 +39,10 @@ DECODED_SCHEMA = (
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array with the deterministic codec."""
+    """Encode an (h, w, 3) uint8 array: real PNG for ``png``, the
+    deterministic RCSI stand-in for the formats with no sandbox codec."""
+    if fmt == "png":
+        return encode_png(pixels)
     h, w, _ = pixels.shape
     q = _QUANT[fmt]
     quant = (pixels // q).astype(np.uint8)
@@ -51,7 +58,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode codec bytes → ((h, w, 3) uint8 array, fmt). Raises on garbage."""
+    """Decode codec bytes → ((h, w, 3) uint8 array, fmt). Raises on garbage.
+
+    Dispatches on magic: real PNG bitstreams decode through the pure-Python
+    PNG codec; RCSI containers through the deterministic stand-in."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data), "png"
     if data[:4] != _MAGIC:
         raise ValueError("bad magic")
     fmt = data[4:8].decode().strip()
@@ -66,18 +78,23 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
 
 
 def decode_real(data: bytes) -> tuple[np.ndarray, str]:
-    """Real PNG/JPEG decode — requires PIL, absent in this container.
-
-    Production deployments pass ``decoder=decode_real`` (backed by
-    PIL/libjpeg-turbo) to :func:`decode_images`; the Spark plumbing is
-    identical for any ``bytes -> (pixels, fmt)`` decoder — the injection
-    seam is integration-tested with a fake third-party decoder in
-    tests/test_images.py.
-    """
-    raise NotImplementedError(
-        "PIL/libjpeg not available in the sandbox; plug a real decoder into "
-        "decode_images(decoder=...) — the Spark plumbing is identical."
-    )
+    """Real-format decode: PNG end-to-end via the pure-Python PNG codec
+    (functions/png.py — public spec, zlib only, all five filter types);
+    JPEG still needs libjpeg (absent in this container) and raises the
+    documented NotImplementedError. Production deployments override JPEG by
+    passing a PIL/libjpeg-turbo-backed ``decoder=`` to
+    :func:`decode_images`; the Spark plumbing is identical for any
+    ``bytes -> (pixels, fmt)`` callable (injection-tested in
+    tests/test_images.py)."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data), "png"
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        raise NotImplementedError(
+            "JPEG decode requires libjpeg (absent in the sandbox); plug a "
+            "real decoder into decode_images(decoder=...) — the Spark "
+            "plumbing is identical."
+        )
+    raise ValueError("decode_real: not a PNG or JPEG bitstream")
 
 
 def average_phash(pixels: np.ndarray, grid: int = 8) -> int:

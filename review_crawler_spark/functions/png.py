@@ -1,0 +1,155 @@
+"""Minimal pure-Python PNG codec (zlib + numpy — no PIL/libpng).
+
+Implements the public PNG specification (RFC 2083 / W3C PNG): 8-byte
+signature, length-type-data-CRC chunks, IHDR/IDAT/IEND, zlib-compressed
+scanlines with per-line filter types 0-4 (None/Sub/Up/Average/Paeth).
+
+Scope — everything the image+caption payload path needs and nothing more:
+- encode: 8-bit RGB (color type 2), any filter type 0-4 (one per image;
+  real encoders pick per line, which decode handles anyway);
+- decode: 8-bit gray (0), RGB (2), RGBA (6); all five filter types;
+  non-interlaced. Grayscale replicates to RGB; RGBA drops alpha — the
+  payload contract is an (h, w, 3) uint8 array.
+
+This makes ``decode_real`` (functions/images.py) a REAL codec branch for
+the reference's most common figure format (the reference downloads figure
+binaries at /root/reference/plos_crawler.py:190-196; MDPI figures are
+PNG/JPEG) — JPEG still requires libjpeg and stays behind the documented
+NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_png needs an (h, w, 3) uint8 array")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, _ = pixels.shape
+    bpp = 3
+    px = pixels.reshape(h, w * bpp).astype(np.int32)
+    zero = np.zeros(w * bpp, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        row, up = px[y], (px[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), up[:-bpp]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:
+            out = row - left
+        elif filter_type == 2:
+            out = row - up
+        elif filter_type == 3:
+            out = row - (left + up) // 2
+        else:  # Paeth
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, up, upleft)),
+                dtype=np.int32, count=w * bpp,
+            )
+            out = row - pred
+        lines.append(bytes([filter_type]) + (out % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Raises ValueError on malformed input."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} comp={comp} interlace={interlace})"
+        )
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported color type {ctype}")
+    ch = _CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("bad scanline data length")
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + up) % 256
+        elif ft in (1, 3, 4):
+            # left-neighbor dependency → sequential along x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                if ft == 1:
+                    cur[x] = (line[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (line[x] + (left + up[x]) // 2) % 256
+                else:
+                    ul = up[x - ch] if x >= ch else 0
+                    cur[x] = (line[x] + _paeth(int(left), int(up[x]), int(ul))) % 256
+        else:
+            raise ValueError(f"bad filter type {ft} on line {y}")
+        out[y] = cur
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 6:
+        return px[:, :, :3]
+    return px

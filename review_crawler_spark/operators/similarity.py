@@ -303,3 +303,85 @@ def ann_topk_ivf_indexed(
     probe = [int(b) for b in qd.argsort(kind="stable")[:nprobe]]
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_topk_ivf_indexed_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch multi-query top-k over the persisted IVF index — the shape a
+    training-data pipeline actually runs (near-dup a whole crawl slice
+    against the corpus index, millions of queries at once).
+
+    Plan at scale:
+    1. probe assignment — one Arrow-batched BLAS pass over the QUERY table
+       (queries × centroids, centroids closed over — tiny), emitting nprobe
+       bucket ids per query; the index is never scanned for assignment;
+    2. index scan — STATIC partition pruning to the union of probed buckets
+       (≤ n_centroids ints collected from the tiny distinct — bounded by
+       the centroid count, not the query count), so the scan reads
+       |union(probes)|/n_centroids of the files;
+    3. candidate join on bucket — the only query-volume shuffle; both sides
+       carry just (ids, vectors); AQE picks broadcast when the probed query
+       side is small;
+    4. exact cosine rescore (JVM sequential fold, matching the pure-Python
+       oracle's float64 fold bit-for-bit) + per-query windowed top-k.
+
+    Returns (query_id, vec_id, cosine), k rows per query.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        dists = np.stack(
+            [((mat - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        order = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probed = (
+        queries.select(
+            F.col(query_id_col),
+            _as_double(query_vec_col).alias("_qv"),
+            probe_udf(F.col(query_vec_col)).alias("_probes"),
+        )
+        .withColumn("bucket", F.explode("_probes"))
+        .drop("_probes")
+    )
+    # union of probed lists: bounded by n_centroids (NOT query count) —
+    # the one justified driver collect, powering static partition pruning
+    bucket_ids = sorted(
+        r["bucket"] for r in probed.select("bucket").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("bucket").isin(bucket_ids))
+    v = _as_double(vec_col)
+    scored = index.join(probed, "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            _dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv"))), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

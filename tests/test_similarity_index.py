@@ -41,3 +41,93 @@ def test_indexed_matches_unindexed_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_batch_probe_matches_per_query_and_prunes(spark, tmp_path):
+    """Batch multi-query probe: per-query results equal running the
+    single-query indexed search query-by-query; the index scan is
+    partition-pruned to the union of probed lists."""
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivf_indexed_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_b")
+    write_ivf_index(emb, path, n_centroids=16, train_n=2000)
+
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch_df = ann_topk_ivf_indexed_batch(spark, path, queries, k=5, nprobe=4)
+    got = {}
+    for r in batch_df.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 6))
+        )
+
+    qrows = queries.collect()
+    assert len(got) == 3
+    for qr in qrows:
+        single = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in ann_topk_ivf_indexed(
+                spark, path, [float(x) for x in qr["query_vec"]],
+                k=5, nprobe=4,
+            ).collect()
+        ]
+        assert got[qr["query_id"]] == single, qr["query_id"]
+
+    # scan pruned to the probed union (a strict subset of the 16 lists
+    # for 3 near-identical-bucket queries at nprobe=4 ⇒ ≤ 12 < 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        n_cent = len(_json.load(f)["centroids"])
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*IN \(([^)]*)\)", plan)
+    if m:  # count the pruned-in bucket ids when the plan prints the IN list
+        assert len(m.group(1).split(",")) < n_cent
+
+
+def test_batch_probe_exhaustive_equals_brute_force(spark, tmp_path):
+    """nprobe = n_centroids ⇒ the batch probe degrades to exact search:
+    per-query results must equal brute-force cosine top-k."""
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivf_indexed_batch,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_x")
+    write_ivf_index(emb, path, n_centroids=8, train_n=2000)
+    queries = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = ann_topk_ivf_indexed_batch(spark, path, queries, k=5, nprobe=8)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 6))
+        )
+    for qr in queries.collect():
+        brute = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in cosine_topk(
+                emb, [float(x) for x in qr["query_vec"]], k=5
+            ).collect()
+        ]
+        assert got[qr["query_id"]] == brute

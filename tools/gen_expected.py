@@ -349,6 +349,68 @@ def ann_ivf_expected(
     return scored[:k]
 
 
+def ann_ivf_batch_expected(
+    vec_ids, mat, n_queries=3, k=10, n_centroids=16, nprobe=4, train_n=2000,
+    iters=5,
+):
+    """Batch IVF probe expectation — lock-step with
+    operators/similarity.ann_topk_ivf_indexed_batch: identical quantizer
+    fit (shared recipe), probe assignment per query (unit-normalized,
+    per-centroid squared distance, stable argsort), and an all-sequential
+    float64 fold for dot AND both norms (the JVM aggregate() fold order).
+    Queries are the first n_queries rows (smallest vec_ids — the entry
+    query selects the same)."""
+    def unit(m):
+        norms = np.sqrt((m ** 2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return m / norms[:, None]
+
+    sample = unit(mat[:train_n].astype(np.float64))
+    n_centroids = min(n_centroids, len(sample))
+    centroids = sample[:n_centroids].copy()
+    for _ in range(iters):
+        dists = np.stack(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    mat_u = unit(mat.astype(np.float64))
+    all_d = np.stack([((mat_u - c) ** 2).sum(axis=1) for c in centroids], axis=1)
+    buckets = all_d.argmin(axis=1)
+
+    def seq_fold_dot(a, b):
+        acc = 0.0
+        for j in range(len(a)):
+            acc += float(a[j]) * float(b[j])
+        return acc
+
+    rows = []
+    dim = mat.shape[1]
+    for qi in range(min(n_queries, len(vec_ids))):
+        qid = int(vec_ids[qi])
+        q = mat[qi].astype(np.float64)
+        qu = unit(q[None, :])[0]
+        qd = np.stack([((qu - c) ** 2).sum() for c in centroids])
+        probe = set(int(b) for b in qd.argsort(kind="stable")[:nprobe])
+        qn = np.sqrt(seq_fold_dot(q, q))
+        scored = []
+        for i in range(len(vec_ids)):
+            if int(buckets[i]) not in probe:
+                continue
+            v = mat[i].astype(np.float64)
+            dot = seq_fold_dot(v, q)
+            nrm = np.sqrt(seq_fold_dot(v, v))
+            scored.append(
+                (int(vec_ids[i]), round_half_up(dot / (nrm * qn), 6))
+            )
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        rows.extend([qid, vid, c] for vid, c in scored[:k])
+    return rows
+
+
 # ---------------------------------------------------------------- driver
 
 def generate(sf_dirs):
@@ -356,7 +418,7 @@ def generate(sf_dirs):
 
     con = duckdb.connect()
     out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
-           "ann_topk_ivf": [], "dedup_clusters": []}
+           "ann_topk_ivf": [], "ann_topk_ivf_batch": [], "dedup_clusters": []}
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -403,6 +465,11 @@ def generate(sf_dirs):
         print(f"  ivf rows: {len(ivf)}", flush=True)
         out["ann_topk_ivf"].append(
             {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ivf]}
+        )
+        ivfb = ann_ivf_batch_expected(vec_ids, mat)
+        print(f"  ivf batch rows: {len(ivfb)}", flush=True)
+        out["ann_topk_ivf_batch"].append(
+            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": ivfb}
         )
     path = os.path.join(os.path.dirname(__file__), "..", "expected", "expected_pairs.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
