@@ -47,6 +47,7 @@ Crawl-order contract (must equal the pure-Python reference simulator):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -191,10 +192,21 @@ class CrawlEngine:
 
     def _read_bloom(self, up_to_wave: int) -> DataFrame:
         """Reconstruct the live shard set: newest version of each shard
-        across the committed delta log (last-writer-wins per shard_id)."""
-        return self.store.read_deltas_lww(
+        across the committed delta log (last-writer-wins per shard_id).
+
+        Cached: unlike the old plain-snapshot read, the LWW view costs a
+        groupBy — and two consumers read it per wave (the admission probe
+        cogroup and the touched-shard merge), so without the cache the
+        shuffle would run twice per wave. The previous wave's cache is
+        released here (shard bytes otherwise accumulate over the crawl)."""
+        prev = getattr(self, "_bloom_cached", None)
+        if prev is not None:
+            prev.unpersist()
+        view = self.store.read_deltas_lww(
             self.spark, "bloom_log", up_to_wave, "shard_id"
-        )
+        ).cache()
+        self._bloom_cached = view
+        return view
 
     # ------------------------------------------------------------- resume
     def resume(self) -> bool:
@@ -337,11 +349,6 @@ class CrawlEngine:
         fields = [f.name for f in FRONTIER_SCHEMA.fields]
         requeued = failed.filter(F.col("state") == "queued")
         terminal = failed.filter(F.col("state") == "failed")
-        self.store.append_delta_bucketed(
-            "frontier_tombstones", wave,
-            scheduled.select(*FRONTIER_KEY),
-            FRONTIER_KEY, self.frontier_buckets,
-        )
         frontier_delta = requeued.select(*fields).unionByName(
             admitted.select(*fields)
         )
@@ -358,18 +365,6 @@ class CrawlEngine:
                 frontier_delta
             )
             new_base = wave + 1
-        self.store.append_delta_bucketed(
-            "frontier_log", wave + 1, frontier_delta, FRONTIER_KEY,
-            self.frontier_buckets,
-        )
-        # terminal failures: O(delta) append, mirrors the url_seen design.
-        # n_err == 0 means no failed rows at all this wave — skip the write
-        # job entirely (failed_urls() tolerates missing wave partitions)
-        if n_err > 0:
-            self.store.append_delta(
-                "failed_log", wave,
-                terminal.select(*[f.name for f in FRONTIER_SCHEMA.fields]),
-            )
         seen_delta = admitted.select(
             "url_hash", "canonical_url",
             F.lit(wave + 1).alias("first_wave"),
@@ -377,32 +372,64 @@ class CrawlEngine:
                 "partition_id"
             ),
         )
-        self.store.append_delta_bucketed(
-            "url_seen", wave + 1, seen_delta, SEEN_BUCKET_COLS,
-            self.seen_buckets,
-        )
-        # read back ONLY the partition just written (pruned single-wave
-        # read) — the old shape re-listed every delta partition and
-        # filtered on a data column, an O(total) read per wave
-        delta_back = self.store.read_bucketed_delta(
-            self.spark, "url_seen", wave + 1
-        )
+
+        # The five delta writes are INDEPENDENT jobs over already-cached
+        # inputs (the counts above materialized every cache), and each is
+        # small — at wave scale its wall is dominated by fixed job overhead,
+        # not bytes. Submitting them from threads lets the scheduler overlap
+        # them (concurrent jobs in one session), turning sum-of-overheads
+        # into max-of-overheads per wave. Crash-safety is unchanged: all
+        # writes still complete before the manifest publishes, and each
+        # write targets its own table/partition.
+        writes = [
+            lambda: self.store.append_delta_bucketed(
+                "frontier_tombstones", wave,
+                scheduled.select(*FRONTIER_KEY),
+                FRONTIER_KEY, self.frontier_buckets,
+            ),
+            lambda: self.store.append_delta_bucketed(
+                "frontier_log", wave + 1, frontier_delta, FRONTIER_KEY,
+                self.frontier_buckets,
+            ),
+            lambda: self.store.append_delta_bucketed(
+                "url_seen", wave + 1, seen_delta, SEEN_BUCKET_COLS,
+                self.seen_buckets,
+            ),
+            # fetched history: per-wave append log — crawl_order() reads ALL
+            # waves in one partitioned scan
+            lambda: self.store.append_delta("fetched_log", wave, fetched),
+        ]
+        # terminal failures: O(delta) append; n_err == 0 means no failed
+        # rows at all this wave — skip the write job entirely
+        # (failed_urls() tolerates missing wave partitions)
+        if n_err > 0:
+            writes.append(
+                lambda: self.store.append_delta(
+                    "failed_log", wave, terminal.select(*fields)
+                )
+            )
         # persist ONLY the shards this wave's admissions touched: restrict
         # the cogroup-merge to the delta's shard ids (partition_id is
-        # already shard_of(url_hash)) and append the result as a bloom
-        # delta — untouched shards are neither read, merged, nor rewritten
+        # already shard_of(url_hash), computed from the CACHED admitted
+        # rows — no read-back dependency on the url_seen write, so this
+        # join joins the parallel pool too); untouched shards are neither
+        # read, merged, nor rewritten
         if n_new > 0:
-            touched = delta_back.select(
+            touched = seen_delta.select(
                 F.col("partition_id").alias("shard_id")
             ).distinct()
             shards_delta = bloom.update_shards(
                 self.bloom_shards.join(
                     F.broadcast(touched), "shard_id", "left_semi"
                 ),
-                delta_back,
+                seen_delta,
                 self.num_bloom_shards,
             )
-            self.store.append_delta("bloom_log", wave + 1, shards_delta)
+            writes.append(
+                lambda: self.store.append_delta(
+                    "bloom_log", wave + 1, shards_delta
+                )
+            )
 
         metrics = (
             scheduled.groupBy("host")
@@ -419,14 +446,17 @@ class CrawlEngine:
                 F.lit(int((time.time() - t0) * 1000)).alias("wall_ms"),
             )
         )
+        writes.append(
+            lambda: self.store.append_delta("metrics_log", wave, metrics)
+        )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()  # re-raise the first failure
 
-        # fetched history: per-wave append log (like url_seen/failed_log) —
-        # crawl_order() then reads ALL waves in one partitioned scan instead
-        # of a Python loop unioning O(waves) per-wave reads
-        self.store.append_delta("fetched_log", wave, fetched)
+        # the manifest is the commit point: every delta above is on disk
         self.store.commit_wave(
             wave,
-            {"metrics": metrics},
+            {},
             extra={
                 "scheduled": n_sched, "fetched": n_fetched, "new": n_new,
                 "frontier_base": new_base,
@@ -548,3 +578,15 @@ class CrawlEngine:
         if last is None or not (self.store.base / "failed_log").exists():
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         return self.store.read_deltas(self.spark, "failed_log", last)
+
+    def metrics(self) -> DataFrame:
+        """Per-(wave, host) fetch metrics from the per-wave append log —
+        the checkpointed lineage/metrics table the north rule asks for."""
+        last = self.store.latest_wave()
+        if last is None:
+            return self.spark.createDataFrame(
+                [], "wave int, host string, urls_scheduled long, "
+                    "urls_fetched long, urls_admitted long, errors long, "
+                    "wall_ms long",
+            )
+        return self.store.read_deltas(self.spark, "metrics_log", last)

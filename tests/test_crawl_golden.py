@@ -231,6 +231,11 @@ def test_standing_frontier_write_volume_is_o_delta(spark, tmp_path):
         ).count() == 0
     # the live queue is still large — the deltas above were ~1% of it
     assert eng.frontier.count() == n_urls - 3 * budget
+    # checkpointed metrics log: one row per (wave, host), budget-bound
+    mrows = eng.metrics().collect()
+    assert len(mrows) == 3
+    assert all(r["urls_scheduled"] == budget for r in mrows)
+    assert all(r["urls_fetched"] == budget for r in mrows)
 
 
 def test_bloom_persist_touches_only_delta_shards(spark, tmp_path):

@@ -1,0 +1,104 @@
+"""Append the ENGINE plan sections to PLANS.md (run after explain_audit.py).
+
+Two plans the wave loop must hold at a 10^10-URL frontier:
+1. url_seen exact-confirm anti-join — bucketed scan on the cumulative seen
+   side, exactly ONE Exchange (the wave's suspect rows);
+2. frontier live-queue derivation (frontier_log ANTI JOIN tombstones on the
+   shared bucket key) — ZERO Exchange on either side.
+Both captured from a real 3-wave engine over the golden site.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from review_crawler_spark.crawler.checkpoint import SnapshotStore  # noqa: E402
+from review_crawler_spark.crawler.scheduler import CrawlEngine  # noqa: E402
+from review_crawler_spark.session import get_spark  # noqa: E402
+from review_crawler_spark.sources.site_graph import (  # noqa: E402
+    site_graph_df,
+    site_links_df,
+)
+from review_crawler_spark.sources.sitegen import build_site, seeds  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    return re.sub(r"file:[^\],\s]*", "…", p)
+
+
+def main() -> None:
+    spark = get_spark(cpus=8, shuffle_partitions=8, driver_memory="8g")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    site = build_site()
+    eng = CrawlEngine(
+        spark, site_graph_df(spark, site), site_links_df(spark, site),
+        SnapshotStore(tempfile.mkdtemp(prefix="planaudit_")),
+        num_bloom_shards=4, seen_buckets=8,
+    )
+    eng.seed(seeds())
+    for _ in range(3):
+        eng.run_wave()
+
+    suspect = spark.range(64).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("https://probe.example/"), F.col("id")).alias(
+            "canonical_url"
+        ),
+    )
+    confirm = suspect.join(
+        eng.url_seen.select("url_hash", "canonical_url"),
+        ["url_hash", "canonical_url"], "left_anti",
+    )
+    p_confirm = plan_of(confirm)
+    p_queue = plan_of(eng._queued(eng.next_wave))
+
+    n_ex_confirm = len(re.findall(r"\(\d+\) Exchange", p_confirm))
+    n_ex_queue = len(re.findall(r"\(\d+\) Exchange", p_queue))
+    with open("/root/repo/PLANS.md", "a") as f:
+        f.write(f"""
+## engine url_seen exact-confirm join (C3, bucketed)
+
+**Expected:** the per-wave anti-join `suspect ⋈ url_seen ON (url_hash,
+canonical_url)` must not shuffle the cumulative seen-set: url_seen deltas
+land in a catalog table `PARTITIONED BY (w)` `CLUSTERED BY (url_hash,
+canonical_url)` — exactly the confirm-join key. Audit found
+**{n_ex_confirm} Exchange** (the wave's suspect rows; `Bucketed: true`
+on the seen scan). Pinned by tests/test_bucketed_seen.py.
+
+```
+{p_confirm}
+```
+
+## engine live-queue derivation (frontier_log ⟕̸ tombstones, round 4)
+
+**Expected:** the standing frontier is a pair of bucketed append logs;
+queued = log ANTI JOIN tombstones on exactly the shared bucket key
+(url_hash, canonical_url, attempt) — ZERO Exchange on either side, so the
+per-wave queue read shuffles nothing at a 10^10-entry frontier, and the
+per-wave WRITES are the tombstone/append deltas only (O(wave delta); see
+tests/test_crawl_golden.py::test_standing_frontier_write_volume_is_o_delta).
+Audit found **{n_ex_queue} Exchanges**.
+
+```
+{p_queue}
+```
+""")
+    print(f"appended engine sections: confirm={n_ex_confirm} queue={n_ex_queue}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
