@@ -1480,6 +1480,50 @@ FROM rounds
 
 
 
+def _q_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 driver-visible audit: decode a deterministic image+caption slice
+    (real PNG / baseline-JPEG / GIF87a bitstreams from the pure-Python
+    codecs) through decode_real and report per-format decode health.
+
+    Rows-only entry (binary codecs are not SQL-expressible) — correctness
+    is carried by the columns themselves: n_errors must be 0 and
+    n_phash_exact / n_caption_exact must equal n for every format, which
+    tests/test_images.py asserts; the driver check pins rows + schema."""
+    from review_crawler_spark.functions.images import decode_images, decode_real
+    from review_crawler_spark.sources.images_table import images_df
+
+    ids = [
+        f"www.mdpi.com/article/{n}/fig{f}.png"
+        for n in range(120)
+        for f in (1, 2)
+    ]
+    table = images_df(spark, ids).localCheckpoint(eager=True)
+    dec = decode_images(table, decoder=decode_real)
+    ref = table.select(
+        "image_id",
+        F.col("phash").alias("ref_phash"),
+        F.col("caption").alias("ref_caption"),
+    )
+    return (
+        dec.join(ref, "image_id")
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+            ).alias("n_errors"),
+            F.sum(
+                F.when(F.col("phash") == F.col("ref_phash"), 1).otherwise(0)
+            ).alias("n_phash_exact"),
+            F.sum(
+                F.when(F.col("caption") == F.col("ref_caption"), 1)
+                .otherwise(0)
+            ).alias("n_caption_exact"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -1532,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_date_sanity": _q_x14_date_sanity,
         "x22_tojson_roundtrip": _q_x22_tojson,
         "review_rounds_extract": _q_review_rounds,
+        "image_decode_audit": _q_image_decode_audit,
     }
 
 

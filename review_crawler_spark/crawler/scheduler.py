@@ -550,6 +550,12 @@ class CrawlEngine:
         for _ in range(max_waves):
             if self.run_wave() is None:
                 break
+        # release the last wave's cached bloom LWW view — a drained crawl
+        # in a long-lived session should not pin shard bytes in memory
+        cached = getattr(self, "_bloom_cached", None)
+        if cached is not None:
+            cached.unpersist()
+            self._bloom_cached = None
         return self.stats
 
     # ------------------------------------------------------------- readouts

@@ -6,31 +6,52 @@ The input_hint payload is an image+caption table
 - ``png``  — REAL PNG bitstream via the pure-Python codec in
              functions/png.py (public PNG spec, zlib + numpy — lossless,
              decodable by any standard viewer);
-- ``jpeg`` — no libjpeg in the sandbox: deterministic stand-in (uniform
-             quantization step 4 + zlib, RCSI container) → PSNR ≈ 46 dB,
+- ``jpeg`` — REAL baseline JFIF bitstream via the pure-Python codec in
+             functions/jpeg.py (public T.81 spec, numpy DCT + Huffman);
+             quality 98 → PSNR ≥ 43 dB on the generator's noisy content,
              above the 40 dB invariant for lossy formats;
-- ``gif``  — stand-in, quantization step 2 → PSNR ≈ 52 dB.
+- ``gif``  — REAL GIF87a bitstream via the pure-Python LZW codec in
+             functions/gif.py; GIF is an indexed format, so pixels are
+             quantized to a deterministic 216-color cube FIRST (that is
+             what a real figure GIF is) and encode/decode of the indexed
+             image is exactly lossless.
 
 The Spark-side plumbing — schema, Arrow batching, mapInPandas signature,
-partitioning — is real and tested; the PNG branch is a real codec
-end-to-end, only jpeg/gif bitstreams are synthetic. Per-row invariants vs
-the reference extraction (BASELINE.json input_hint): decoded-pixel
-allclose (PSNR ≥ 40 dB for lossy), exact caption equality.
+partitioning — is real and tested, and all three formats are real codecs
+end-to-end. Per-row invariants vs the reference extraction (BASELINE.json
+input_hint): decoded-pixel allclose (PSNR ≥ 40 dB for lossy), exact
+caption equality.
 """
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .gif import GIF_SIGS, decode_gif, encode_gif
+from .jpeg import JPEG_SOI, decode_jpeg, encode_jpeg
 from .png import PNG_SIG, decode_png, encode_png
 
-_MAGIC = b"RCSI"  # review_crawler_spark image
-_QUANT = {"png": 1, "jpeg": 4, "gif": 2}
+_JPEG_QUALITY = 98  # keeps the noisiest generator content above 40 dB
+
+# 6x6x6 uniform color cube (216 entries) for GIF: index = 36r' + 6g' + b'
+_CUBE = np.arange(6, dtype=np.int32) * 43 + 21
+GIF_PALETTE = (
+    np.stack(np.meshgrid(_CUBE, _CUBE, _CUBE, indexing="ij"), axis=-1)
+    .reshape(-1, 3)
+    .astype(np.uint8)
+)
+
+
+def gif_prequantize(pixels: np.ndarray) -> np.ndarray:
+    """Snap RGB pixels to the 216-color GIF cube — the palette step every
+    real GIF goes through before encoding; idempotent."""
+    q = pixels.astype(np.int32) // 43
+    idx = q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]
+    return GIF_PALETTE[idx]
 
 DECODED_SCHEMA = (
     "image_id string, w int, h int, fmt string, caption string, "
@@ -39,62 +60,48 @@ DECODED_SCHEMA = (
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array: real PNG for ``png``, the
-    deterministic RCSI stand-in for the formats with no sandbox codec."""
+    """Encode an (h, w, 3) uint8 array as a real PNG/JPEG/GIF bitstream.
+    GIF quantizes to the 216-color cube (indexed format — lossy palette
+    step, lossless LZW after it)."""
     if fmt == "png":
         return encode_png(pixels)
-    h, w, _ = pixels.shape
-    q = _QUANT[fmt]
-    quant = (pixels // q).astype(np.uint8)
-    payload = zlib.compress(quant.tobytes(), 6)
-    header = (
-        _MAGIC
-        + fmt.ljust(4).encode()
-        + w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + q.to_bytes(1, "big")
-    )
-    return header + payload
+    if fmt == "jpeg":
+        return encode_jpeg(pixels, _JPEG_QUALITY)
+    if fmt == "gif":
+        q = pixels.astype(np.int32) // 43
+        idx = (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
+        return encode_gif(idx, GIF_PALETTE)
+    raise ValueError(f"unknown format {fmt!r}")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """Decode codec bytes → ((h, w, 3) uint8 array, fmt). Raises on garbage.
 
-    Dispatches on magic: real PNG bitstreams decode through the pure-Python
-    PNG codec; RCSI containers through the deterministic stand-in."""
+    Dispatches on magic: PNG, baseline JPEG and GIF87a/89a all decode
+    through the pure-Python codecs."""
     if data[:8] == PNG_SIG:
         return decode_png(data), "png"
-    if data[:4] != _MAGIC:
-        raise ValueError("bad magic")
-    fmt = data[4:8].decode().strip()
-    w = int.from_bytes(data[8:12], "big")
-    h = int.from_bytes(data[12:16], "big")
-    q = data[16]
-    raw = np.frombuffer(zlib.decompress(data[17:]), dtype=np.uint8)
-    quant = raw.reshape(h, w, 3)
-    # dequantize to bin centers so lossy error is ≤ q/2 per channel
-    pixels = np.clip(quant.astype(np.int32) * q + q // 2 * (q > 1), 0, 255)
-    return pixels.astype(np.uint8), fmt
+    if data[:2] == JPEG_SOI:
+        return decode_jpeg(data), "jpeg"
+    if data[:6] in GIF_SIGS:
+        return decode_gif(data), "gif"
+    raise ValueError("bad magic")
 
 
 def decode_real(data: bytes) -> tuple[np.ndarray, str]:
-    """Real-format decode: PNG end-to-end via the pure-Python PNG codec
-    (functions/png.py — public spec, zlib only, all five filter types);
-    JPEG still needs libjpeg (absent in this container) and raises the
-    documented NotImplementedError. Production deployments override JPEG by
-    passing a PIL/libjpeg-turbo-backed ``decoder=`` to
-    :func:`decode_images`; the Spark plumbing is identical for any
-    ``bytes -> (pixels, fmt)`` callable (injection-tested in
-    tests/test_images.py)."""
-    if data[:8] == PNG_SIG:
-        return decode_png(data), "png"
-    if data[:2] == b"\xff\xd8":  # JPEG SOI
-        raise NotImplementedError(
-            "JPEG decode requires libjpeg (absent in the sandbox); plug a "
-            "real decoder into decode_images(decoder=...) — the Spark "
-            "plumbing is identical."
-        )
-    raise ValueError("decode_real: not a PNG or JPEG bitstream")
+    """Real-format decode: PNG via the pure-Python PNG codec
+    (functions/png.py — public spec, zlib only, all five filter types),
+    baseline JPEG via the pure-Python T.81 codec (functions/jpeg.py —
+    Huffman + numpy DCT, 4:4:4/4:2:2/4:2:0, restart intervals), GIF via
+    the pure-Python LZW codec (functions/gif.py). Progressive JPEG and
+    other formats raise ValueError; production deployments can still swap
+    in a PIL/libjpeg-turbo-backed ``decoder=`` on :func:`decode_images`
+    for speed — the Spark plumbing is identical for any ``bytes ->
+    (pixels, fmt)`` callable (injection-tested in tests/test_images.py).
+
+    Identical to :func:`decode_image` now that every format is a real
+    codec; kept as the named production seam."""
+    return decode_image(data)
 
 
 def average_phash(pixels: np.ndarray, grid: int = 8) -> int:
@@ -126,10 +133,10 @@ def decode_images(df: DataFrame, decoder=decode_image) -> DataFrame:
     """U5 batch image decode: mapInPandas over the images table.
 
     ``decoder`` is the codec seam: any ``bytes -> (pixels (h,w,3) uint8,
-    fmt str)`` callable — the deterministic sandbox codec by default,
-    ``decode_real`` (PIL-backed) in production. The callable is closed over
-    by the Arrow batch function and shipped to executors like any UDF
-    dependency.
+    fmt str)`` callable — the pure-Python PNG/JPEG/GIF codecs by default;
+    production can swap in PIL/libjpeg-turbo for raw speed. The callable is
+    closed over by the Arrow batch function and shipped to executors like
+    any UDF dependency.
 
     Emits per-row decode status + recomputed phash; UDF never throws — bad
     bytes produce ``decode_error`` rows (mirrors the reference's in-loop

@@ -14,8 +14,7 @@ Scope — everything the image+caption payload path needs and nothing more:
 This makes ``decode_real`` (functions/images.py) a REAL codec branch for
 the reference's most common figure format (the reference downloads figure
 binaries at /root/reference/plos_crawler.py:190-196; MDPI figures are
-PNG/JPEG) — JPEG still requires libjpeg and stays behind the documented
-NotImplementedError.
+PNG/JPEG) — the JPEG sibling lives in functions/jpeg.py.
 """
 
 from __future__ import annotations

@@ -4,8 +4,10 @@ Schema (authoritative, BASELINE.json input_hint):
     (image_id string, bytes binary, w int, h int, fmt string,
      caption string, phash int64)
 
-Pixels are a pure function of image_id (seeded numpy), encoded with the
-deterministic codec in functions/images.py. The stored ``phash`` is the
+Pixels are a pure function of image_id (seeded numpy), encoded as real
+PNG/JPEG/GIF bitstreams via the pure-Python codecs behind
+functions/images.py (gif pixels are palette-quantized at generation time,
+as real figure GIFs are). The stored ``phash`` is the
 reference extraction: the average-hash of the *decoded* pixels, so the
 engine-side decode UDF must reproduce it bit-for-bit (exactness invariant),
 while raw pixels must match within PSNR ≥ 40 dB for lossy formats.
@@ -24,7 +26,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.images import average_phash, decode_image, encode_image
+from ..functions.images import (
+    average_phash,
+    decode_image,
+    encode_image,
+    gif_prequantize,
+)
 from ..schemas import IMAGES_SCHEMA
 
 _FMTS = ("png", "jpeg", "gif")
@@ -45,6 +52,11 @@ def make_image(image_id: str) -> dict:
     ) / 2
     noise = rng.integers(0, 64, size=(h, w, 3))
     pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+    if fmt == "gif":
+        # a real figure GIF is an indexed image: the palette step happens
+        # at figure-creation time, so the SOURCE pixels are palette-bound
+        # and the GIF bitstream round-trips them losslessly
+        pixels = gif_prequantize(pixels)
     data = encode_image(pixels, fmt)
     decoded, _ = decode_image(data)
     return {

@@ -23,8 +23,11 @@ def test_codec_roundtrip_psnr():
         assert fmt == row["fmt"]
         assert decoded.shape == (row["h"], row["w"], 3)
         p = I.psnr(row["_pixels"], decoded)
-        if row["fmt"] == "png":
-            assert np.array_equal(row["_pixels"], decoded), "png must be lossless"
+        if row["fmt"] in ("png", "gif"):
+            # png lossless; gif lossless over its palette-bound source
+            assert np.array_equal(row["_pixels"], decoded), (
+                f"{row['fmt']} must be lossless"
+            )
         else:
             assert p >= 40.0, f"{row['fmt']} PSNR {p:.1f} < 40 dB"
 
@@ -110,14 +113,13 @@ def test_decoder_injection_seam(spark):
         assert r["phash"] == rows[i][6]  # lossless round trip -> exact phash
         assert r["caption"] == f"cap {i}"
 
-    # JPEG stays a documented NotImplementedError seam (no libjpeg here);
-    # garbage is a ValueError, and PNG is real (tested below)
+    # PNG and JPEG are real codecs now; anything else is a ValueError
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0 fake jpeg")
     with _pytest.raises(ValueError):
         decode_real(b"not an image at all")
+    with _pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff\xe0 truncated garbage jpeg")
 
 
 # ---------------------------------------------------------------- real PNG
@@ -149,17 +151,96 @@ def test_png_decode_rejects_corruption():
         decode_png(b"\x89PNG\r\n\x1a\n short")
 
 
-def test_decode_real_runs_end_to_end_on_png_rows(spark):
+def test_decode_real_runs_end_to_end_on_all_real_formats(spark):
     """Round-2/3 carry-forward closed: decode_real (NOT an injected fake)
-    decodes the table's real PNG bitstreams through the Spark plumbing —
-    lossless, so phash is exact and the PSNR gate is trivially inf."""
-    table = images_df(spark, IDS).filter(F.col("fmt") == "png")
-    n_png = table.count()
-    assert n_png > 0
-    out = I.decode_images(table, decoder=I.decode_real).collect()
+    decodes the table's real PNG, baseline-JPEG and GIF bitstreams through
+    the Spark plumbing — png/gif lossless (phash exact), JPEG within the
+    lossy phash/PSNR contract."""
+    table = images_df(spark, IDS)
     ref = {r["image_id"]: r for r in table.collect()}
-    assert len(out) == n_png
+    assert {r["fmt"] for r in ref.values()} == {"png", "jpeg", "gif"}
+    out = I.decode_images(table, decoder=I.decode_real).collect()
+    assert len(out) == len(ref)
     for r in out:
         assert r["decode_error"] is None
         assert r["pixels_ok"]
+        # stored phash was computed over decode_image's pixels, and both
+        # real branches are the same codecs decode_image dispatches to
         assert r["phash"] == ref[r["image_id"]]["phash"]
+
+
+# --------------------------------------------------------------- real JPEG
+
+
+def test_jpeg_roundtrip_psnr_and_structure():
+    """Pure-Python baseline JPEG codec: JFIF markers present, PSNR ≥ 40 dB
+    at the table's quality on noisy content, flat content near-lossless."""
+    from review_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    data = encode_jpeg(noisy, quality=98)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    out = decode_jpeg(data)
+    assert out.shape == noisy.shape
+    assert I.psnr(noisy, out) >= 40.0
+
+    flat = np.full((24, 24, 3), 93, dtype=np.uint8)
+    assert I.psnr(flat, decode_jpeg(encode_jpeg(flat, 95))) >= 48.0
+
+
+def test_jpeg_decode_rejects_corruption():
+    from review_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = encode_jpeg(px, 90)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00 not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:20])  # truncated mid-segment
+    # progressive SOF2 is explicitly unsupported
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+
+
+def test_gif_lzw_roundtrips_and_corruption():
+    """Pure-Python GIF87a codec: lossless over indexed pixels, including
+    the 9→12-bit LZW width growth and table-full CLEAR reset; malformed
+    input rejected."""
+    from review_crawler_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    # noise big enough to fill the 4096-entry LZW table (CLEAR path)
+    idx = rng.integers(0, 256, (128, 96)).astype(np.uint8)
+    data = encode_gif(idx, pal)
+    assert data[:6] == b"GIF87a" and data[-1:] == b"\x3b"
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_gif(data[:40])  # truncated LZW stream
+
+    # palette pre-quantization is idempotent and the end-to-end gif path
+    # through encode_image/decode_image is exact over quantized pixels
+    px = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    qpx = I.gif_prequantize(px)
+    assert np.array_equal(I.gif_prequantize(qpx), qpx)
+    dec, fmt = I.decode_image(I.encode_image(qpx, "gif"))
+    assert fmt == "gif" and np.array_equal(dec, qpx)
+
+
+def test_jpeg_odd_sizes_and_extremes():
+    """Non-multiple-of-8 sizes pad with edge replication; max-amplitude
+    blocks survive the coefficient clamp at quality 100."""
+    from review_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    checker = (np.indices((13, 19)).sum(0) % 2 * 255).astype(np.uint8)
+    px = checker[..., None].repeat(3, 2)
+    for q in (85, 100):
+        out = decode_jpeg(encode_jpeg(px, q))
+        assert out.shape == px.shape
+        assert I.psnr(px, out) >= 30.0
