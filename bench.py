@@ -200,7 +200,36 @@ def bench_image_decode(spark, n: int = 20_000) -> float:
     return time.time() - t0
 
 
+def _wait_host_idle(limit_cores: float = 1.0, timeout: float = 120) -> None:
+    """Short idle gate before the timed suite (same hygiene as the scaling
+    harness): the sandbox host carries bursty external load, and starting
+    into a storm records weather, not code. Bounded wait — if the storm
+    outlasts the timeout we proceed and the per-query best-of-N minimum is
+    the fallback defense."""
+
+    def busy(dt: float = 2.0) -> float:
+        def snap():
+            v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+            return (v[0] + v[1] + v[2] + v[5] + v[6] + v[7]) / 100.0
+
+        b0 = snap()
+        time.sleep(dt)
+        return (snap() - b0) / dt
+
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if busy() < limit_cores:
+            return
+        time.sleep(5)
+
+
 def run_bench(cpus: int) -> dict:
+    _wait_host_idle()
     spark = build_session(cpus)
     spark.range(1).count()  # JVM warmup
     queries = {
@@ -461,7 +490,14 @@ def main() -> None:
                 f"**Scaling efficiency ({lo}→{hi} cores):** {eff:.3f} "
                 f"(ideal-linear = 1.0; the ≥0.8 target presumes separate "
                 f"executors — see CPU analysis below)\n"
-                + cpu_rows + cpu_note
+                + cpu_rows + cpu_note +
+                "\n## Executor-model evidence (the faithful N→4N analog)\n\n"
+                "The separate-JVM protocol, its host-pathology diagnosis, "
+                "and the round-4 median over 12 idle-gated interleaved "
+                "sandwich windows (median eff_tput 0.75; quiet-window "
+                "1.03; round-3 floor 0.88 / best pair 0.935) live in "
+                "BASELINE.md §\"Scaling evidence\" with per-window data "
+                "in BENCH_SCALING_EXECUTORS.json.\n"
             )
         print(json.dumps(report))
         return

@@ -236,8 +236,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4)."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (T.81 resync points, used by streaming encoders)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg needs an (h, w, 3) uint8 array")
     h, w, _ = pixels.shape
@@ -270,6 +275,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     pred = [0, 0, 0]
     n_blocks = comp_zz[0].shape[0]
     for bi in range(n_blocks):  # 4:4:4 → MCU = one block per component
+        if restart_interval and bi and bi % restart_interval == 0:
+            # pad to byte boundary with 1-bits, then the cyclic RSTn marker
+            # (raw append — markers are not byte-stuffed), and reset the DC
+            # predictors, mirroring the decoder's restart handling
+            if bw.nbits:
+                bw.put(0x7F, 8 - bw.nbits)
+            bw.out += bytes(
+                [0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)]
+            )
+            pred = [0, 0, 0]
         for ci in range(3):
             ti = 0 if ci == 0 else 1
             zz = comp_zz[ci][bi]
@@ -319,6 +334,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
             0xFFC4,
             bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values),
         )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for cid, tid in ((1, 0), (2, 1), (3, 1)):
         sos += bytes([cid, (tid << 4) | tid])
@@ -332,97 +349,70 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
 # ----------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+class _HuffLUT:
+    """16-bit-prefix lookup table: one peek resolves any code (codes are
+    ≤16 bits), so the hot loop does a list index instead of per-bit reads.
+    Plain Python lists beat numpy here — single-element access dominates."""
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> None:
-        if self.marker is not None:
-            # past a marker: T.81 F.2.2.5 — behave as if fed 1-bits
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-            return
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = 0xFF00 | nxt
-                self.pos -= 1
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_restart(self) -> None:
-        """Consume an RSTn marker at a restart boundary."""
-        self.acc = 0
-        self.nbits = 0
-        self.marker = None
-        if (
-            self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-        else:
-            raise ValueError("expected RSTn at restart interval")
-
-
-class _HuffDecode:
-    """Canonical per-length (mincode, maxcode, value offset) decoder."""
+    __slots__ = ("sym", "ln")
 
     def __init__(self, bits: list[int], values: list[int]) -> None:
-        self.values = values
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        sym = [0] * 65536
+        ln = [0] * 65536
         code, k = 0, 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                if start + span > 65536:
+                    raise ValueError("invalid Huffman table (code overflow)")
+                sym[start : start + span] = [values[k]] * span
+                ln[start : start + span] = [length] * span
+                code += 1
+                k += 1
             code <<= 1
-
-    def read(self, br: _BitReader) -> int:
-        code = br.bit()
-        length = 1
-        while code > self.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise ValueError("invalid Huffman code")
-            code = (code << 1) | br.bit()
-        return self.values[self.valptr[length] + code - self.mincode[length]]
+        self.sym = sym
+        self.ln = ln
 
 
-def _extend(bits: int, size: int) -> int:
-    """Appended-bits value → signed coefficient (T.81 F.2.2.1)."""
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+# tables repeat across images (every encoder ships Annex K or close), so
+# LUT construction amortizes to zero across a decode batch
+_LUT_CACHE: dict[tuple, _HuffLUT] = {}
+
+
+def _huff_lut(bits: list[int], values: list[int]) -> _HuffLUT:
+    key = (tuple(bits), tuple(values))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = _LUT_CACHE[key] = _HuffLUT(bits, values)
+    return lut
+
+
+def _entropy_stream(data: bytes, pos: int) -> tuple[bytes, list[int]]:
+    """Unstuff the scan's entropy bytes in one pass: 0xFF00 → 0xFF, RSTn
+    markers recorded as offsets into the unstuffed stream, stop at the
+    first real marker. 8 bytes of 0xFF padding are appended — T.81
+    F.2.2.5: reads past the segment behave as 1-bits."""
+    out = bytearray()
+    rst: list[int] = []
+    i, n = pos, len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            out += data[i:n]
+            break
+        out += data[i:j]
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            out.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            rst.append(len(out))
+            i = j + 2
+        else:
+            break
+    out += b"\xff" * 8
+    return bytes(out), rst
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -433,7 +423,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _HuffDecode] = {}
+    huff: dict[tuple[int, int], _HuffLUT] = {}
     frame = None
     restart = 0
     while pos + 4 <= len(data):
@@ -465,7 +455,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
                 values = list(body[bpos + 17 : bpos + 17 + n])
-                huff[(cls, tid)] = _HuffDecode(bits, values)
+                huff[(cls, tid)] = _huff_lut(bits, values)
                 bpos += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/extended)
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -504,57 +494,108 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart) -> np.ndarray:
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
 
-    # per scan component: coefficient store sized in whole MCUs
-    stores, meta = [], []
+    # per scan component: flat coefficient list (zigzag order) sized in
+    # whole MCUs; one np.array at the end — no per-block numpy allocation
+    coeffs, meta = [], []
     for cid, dctab, actab in scan:
         ch, cv, qid = by_id[cid]
-        stores.append(
-            np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int64)
-        )
+        coeffs.append([0] * (mcuy * cv * mcux * ch * 64))
         meta.append((ch, cv, qid, huff.get((0, dctab)), huff.get((1, actab))))
         if meta[-1][3] is None or meta[-1][4] is None:
             raise ValueError("missing Huffman table for scan")
 
-    br = _BitReader(data, pos)
+    stream, rst_offsets = _entropy_stream(data, pos)
+    rst_next = 0
+    acc = nbits = sp = 0
     pred = [0] * len(scan)
     seen = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and seen == restart:
-                br.align_restart()
-                pred = [0] * len(scan)
-                seen = 0
-            seen += 1
-            for si, (ch, cv, qid, dc, ac) in enumerate(meta):
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = dc.read(br)
-                        diff = _extend(br.bits(size), size)
-                        pred[si] += diff
-                        zz[0] = pred[si]
-                        k = 1
-                        while k < 64:
-                            rs = ac.read(br)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        row = (my * cv + by) * (mcux * ch) + (mx * ch + bx)
-                        stores[si][row] = zz
+    row_w = mcux  # MCU columns; per-component block row width = mcux * ch
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and seen == restart:
+                    # byte-align at the next recorded RSTn boundary,
+                    # discarding padding bits and any refill lookahead
+                    if rst_next >= len(rst_offsets):
+                        raise ValueError("expected RSTn at restart interval")
+                    sp = rst_offsets[rst_next]
+                    rst_next += 1
+                    acc = nbits = 0
+                    pred = [0] * len(scan)
+                    seen = 0
+                seen += 1
+                for si, (ch, cv, qid, dc, ac) in enumerate(meta):
+                    co = coeffs[si]
+                    dc_sym, dc_ln = dc.sym, dc.ln
+                    ac_sym, ac_ln = ac.sym, ac.ln
+                    for by in range(cv):
+                        for bx in range(ch):
+                            base = (
+                                (my * cv + by) * (row_w * ch)
+                                + (mx * ch + bx)
+                            ) * 64
+                            while nbits < 16:
+                                acc = (acc << 8) | stream[sp]
+                                sp += 1
+                                nbits += 8
+                            peek = (acc >> (nbits - 16)) & 0xFFFF
+                            ln = dc_ln[peek]
+                            if not ln:
+                                raise ValueError("invalid Huffman code")
+                            size = dc_sym[peek]
+                            nbits -= ln
+                            if size:
+                                while nbits < size:
+                                    acc = (acc << 8) | stream[sp]
+                                    sp += 1
+                                    nbits += 8
+                                v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                                nbits -= size
+                                if v < 1 << (size - 1):  # T.81 EXTEND
+                                    v -= (1 << size) - 1
+                                pred[si] += v
+                            co[base] = pred[si]
+                            k = 1
+                            while k < 64:
+                                while nbits < 16:
+                                    acc = (acc << 8) | stream[sp]
+                                    sp += 1
+                                    nbits += 8
+                                peek = (acc >> (nbits - 16)) & 0xFFFF
+                                ln = ac_ln[peek]
+                                if not ln:
+                                    raise ValueError("invalid Huffman code")
+                                rs = ac_sym[peek]
+                                nbits -= ln
+                                size = rs & 0x0F
+                                if size == 0:
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                while nbits < size:
+                                    acc = (acc << 8) | stream[sp]
+                                    sp += 1
+                                    nbits += 8
+                                v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                                nbits -= size
+                                if v < 1 << (size - 1):
+                                    v -= (1 << size) - 1
+                                co[base + k] = v
+                                k += 1
+                            acc &= (1 << nbits) - 1  # bound bigint growth
+    except IndexError:
+        raise ValueError("truncated entropy stream") from None
 
     planes = []
     for si, (ch, cv, qid, _, _) in enumerate(meta):
         if qid not in qtabs:
             raise ValueError(f"missing quant table {qid}")
-        coef = (stores[si][:, UNZIGZAG] * qtabs[qid]).astype(
+        zz = np.array(coeffs[si], dtype=np.int64).reshape(-1, 64)
+        coef = (zz[:, UNZIGZAG] * qtabs[qid]).astype(
             np.float64
         ).reshape(-1, 8, 8)
         blocks = np.einsum("ji,njk,kl->nil", _D, coef, _D) + 128.0

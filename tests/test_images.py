@@ -205,6 +205,20 @@ def test_jpeg_decode_rejects_corruption():
         decode_jpeg(prog)
 
 
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI/RSTn path: restart markers at any interval must not change the
+    decoded pixels (predictor resets mirror between encoder and decoder)."""
+    from review_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)  # 42 MCUs
+    plain = decode_jpeg(encode_jpeg(px, 95))
+    for ri in (1, 4, 7, 100):
+        data = encode_jpeg(px, 95, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert np.array_equal(decode_jpeg(data), plain), f"ri={ri}"
+
+
 def test_gif_lzw_roundtrips_and_corruption():
     """Pure-Python GIF87a codec: lossless over indexed pixels, including
     the 9→12-bit LZW width growth and table-full CLEAR reset; malformed
