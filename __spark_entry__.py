@@ -1480,6 +1480,18 @@ FROM rounds
 
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontam.py): every 17th doc
+    plays the evaluation benchmark; report each remaining training doc that
+    shares a word 5-gram with it. Broadcast bench-gram join, JVM-only."""
+    from review_crawler_spark.operators.decontam import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_contamination(train, bench, n=5).orderBy("doc_id")
+
+
 def _q_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 driver-visible audit: decode a deterministic image+caption slice
     (real PNG / baseline-JPEG / GIF87a bitstreams from the pure-Python
@@ -1576,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_date_sanity": _q_x14_date_sanity,
         "x22_tojson_roundtrip": _q_x22_tojson,
         "review_rounds_extract": _q_review_rounds,
+        "decontaminate_ngram_overlap": _q_decontaminate,
         "image_decode_audit": _q_image_decode_audit,
     }
 
@@ -1751,5 +1764,32 @@ WITH clusters AS (
 )
 SELECT host, CAST(seq AS BIGINT) AS doc_id, url, priority, rk
 FROM ranked WHERE rk <= 8
+"""
+    out["decontaminate_ngram_overlap"] = """
+WITH tw AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 17 <> 0
+), bw AS (
+  SELECT doc_id AS bench_doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 17 = 0
+), tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 4),
+                  i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+    FROM tw WHERE len(w) >= 5)
+), bg AS (
+  SELECT DISTINCT bench_doc_id, g FROM (
+    SELECT bench_doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 4),
+                  i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+    FROM bw WHERE len(w) >= 5)
+)
+SELECT doc_id,
+       count(DISTINCT g) AS n_overlapping_grams,
+       count(DISTINCT bench_doc_id) AS n_bench_docs
+FROM tg JOIN bg USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
 """
     return out

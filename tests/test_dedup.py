@@ -154,3 +154,62 @@ def test_winnowing_fingerprints_match_pure_python(spark):
     # position-robustness: docs 1 and 2 share the run at different offsets
     assert got[1] & got[2], "shared run must share fingerprints"
     assert not (got[3] & got[1])
+
+
+def test_ngram_contamination_matches_python_and_broadcasts(spark):
+    """Decontamination == brute-force python n-gram overlap on known docs;
+    the bench side broadcasts (no shuffle of the gram-hash join)."""
+    import contextlib
+    import io
+
+    from review_crawler_spark.operators.decontam import ngram_contamination
+
+    train = [
+        (1, "a b c d e f g"),          # shares "c d e" with bench doc 10
+        (2, "x y z w v u t"),          # clean
+        (3, "c d e f g h i c d e"),    # shares two distinct grams w/ 10
+        (4, "a b"),                    # too short for n=3
+    ]
+    bench = [
+        (10, "q q c d e f g q"),
+        (11, "m n o p"),
+    ]
+
+    def grams(t, n=3):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    expected = {}
+    for did, t in train:
+        hits = {bid: grams(t) & grams(bt) for bid, bt in bench}
+        hits = {b: g for b, g in hits.items() if g}
+        if hits:
+            expected[did] = (
+                len(set().union(*hits.values())),
+                len(hits),
+            )
+
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    out = ngram_contamination(tdf, bdf, n=3)
+    got = {r["doc_id"]: (r["n_overlapping_grams"], r["n_bench_docs"])
+           for r in out.collect()}
+    assert got == expected, (got, expected)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, "bench grams must broadcast"
+    # the train-side gram explosion must reach the join with NO shuffle
+    # (left subtree of the join = the ':-'-prefixed lines): the only
+    # exchanges are the bench distinct and the post-join countDistinct
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    join_at = tree.index("BroadcastHashJoin")
+    left_lines = [
+        ln for ln in tree[join_at:].splitlines() if ln.lstrip().startswith(":")
+    ]
+    assert left_lines, "expected a left subtree under the join"
+    assert not any("Exchange" in ln for ln in left_lines), (
+        "train gram explosion must not shuffle before the join:\n" + tree
+    )
