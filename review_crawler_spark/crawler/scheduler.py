@@ -290,8 +290,12 @@ class CrawlEngine:
                     self.spark, name, self._frontier_base
                 )
             self._gc_done_base = self._frontier_base
-        queued = self._queued(wave)
+        # cached: isEmpty probes it, the schedule window consumes it fully,
+        # and a compaction wave re-reads it for the untouched-rows fold —
+        # without the cache the bucketed-log anti-join executes per consumer
+        queued = self._queued(wave).cache()
         if queued.isEmpty():
+            queued.unpersist()
             return None
 
         scheduled = self._schedule(queued).cache()
@@ -334,10 +338,13 @@ class CrawlEngine:
         # anti-join would re-execute three times per wave
         admitted = self._admit(links, wave).cache()
 
-        # in-wave bookkeeping (counts force the cached plans once)
+        # in-wave bookkeeping: count the DEEPEST cached plan first — one
+        # job materializes scheduled/fetch/fetched/admitted top-down, and
+        # the remaining counts are O(1) reads of already-cached data
+        # (three stacked jobs otherwise, each paying scheduling overhead)
+        n_new = admitted.count()
         n_sched = scheduled.count()
         n_fetched = fetched.count()
-        n_new = admitted.count()
         n_err = n_sched - n_fetched
 
         # FRONTIER COMMIT — O(wave delta), never O(live queue). Three moves
@@ -463,6 +470,7 @@ class CrawlEngine:
             },
         )
         self._frontier_base = new_base
+        queued.unpersist()
         scheduled.unpersist()
         fetch.unpersist()
         fetched.unpersist()
