@@ -122,6 +122,14 @@ def _lzw_encode(seq: list[int], min_code: int) -> bytes:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → (h, w, 3) uint8 RGB (first image). Raises ValueError."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as exc:
+        # truncated headers / sub-blocks surface as the contract ValueError
+        raise ValueError(f"malformed GIF: {exc}") from None
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in GIF_SIGS:
         raise ValueError("not a GIF (bad signature)")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])

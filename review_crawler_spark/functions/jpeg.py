@@ -419,6 +419,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB.
 
     Raises ValueError on non-baseline or malformed input."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        # truncated segments / unknown scan-component ids surface as the
+        # contract ValueError
+        raise ValueError(f"malformed JPEG: {exc!r}") from None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -543,6 +552,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart) -> np.ndarray:
                             if not ln:
                                 raise ValueError("invalid Huffman code")
                             size = dc_sym[peek]
+                            if size > 15:  # baseline DC category ≤ 11
+                                raise ValueError("invalid DC size category")
                             nbits -= ln
                             if size:
                                 while nbits < size:

@@ -87,6 +87,14 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8. Raises ValueError on malformed input."""
+    try:
+        return _decode_png(data)
+    except (IndexError, struct.error, zlib.error) as exc:
+        # truncated chunks / bad deflate surface as the contract ValueError
+        raise ValueError(f"malformed PNG: {exc}") from None
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []

@@ -247,6 +247,39 @@ def test_gif_lzw_roundtrips_and_corruption():
     assert fmt == "gif" and np.array_equal(dec, qpx)
 
 
+def test_decoders_reject_corruption_with_valueerror_only():
+    """Seeded fuzz: truncation, bit flips, and garbage tails on real
+    PNG/JPEG/GIF bitstreams must raise ValueError (the decode contract),
+    never IndexError/KeyError/struct.error/OverflowError — decode_images
+    isolates any exception, but decode_real's documented contract is
+    ValueError on malformed input."""
+    import random
+
+    random.seed(7)
+    rng = np.random.default_rng(7)
+    samples = [make_image(f"fuzztest-{i}")["bytes"] for i in range(12)]
+    for data in samples:
+        for trial in range(25):
+            b = bytearray(data)
+            mode = trial % 4
+            if mode == 0:
+                b = b[: random.randrange(1, len(b))]
+            elif mode == 1:
+                b[random.randrange(len(b))] ^= random.randrange(1, 256)
+            elif mode == 2:
+                for _ in range(9):
+                    b[random.randrange(len(b))] ^= random.randrange(1, 256)
+            else:
+                b = b[:16] + bytes(
+                    rng.integers(0, 256, random.randrange(5, 400),
+                                 dtype=np.uint8)
+                )
+            try:
+                I.decode_image(bytes(b))
+            except ValueError:
+                pass  # the contract; a lucky still-valid mutation also ok
+
+
 def test_jpeg_odd_sizes_and_extremes():
     """Non-multiple-of-8 sizes pad with edge replication; max-amplitude
     blocks survive the coefficient clamp at quality 100."""
