@@ -44,13 +44,13 @@ def connected_components(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     label_t = dict(labels.dtypes)["label"]
     converged = False
@@ -72,7 +72,7 @@ def connected_components(
             .unionByName(via_nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("own").alias("own"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(
             F.sum((F.col("label") != F.col("own")).cast("int")).alias("c")
@@ -147,7 +147,7 @@ def connected_components_star(
             j.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -163,7 +163,7 @@ def connected_components_star(
         return (
             hang.filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -171,12 +171,12 @@ def connected_components_star(
     # names x as a (singleton) component member
     all_nodes = (
         directed(raw).select(F.col("u").alias("id")).distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     converged = False
