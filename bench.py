@@ -200,32 +200,48 @@ def bench_image_decode(spark, n: int = 20_000) -> float:
     return time.time() - t0
 
 
+def total_busy(dt: float = 2.0) -> float:
+    """Host-wide busy cores over a short sample (/proc/stat, USER_HZ=100).
+    THE canonical copy — the scaling harness imports these three helpers,
+    so the busy formula and gating policy can't silently diverge between
+    the bench gate and the scaling windows."""
+
+    def snap():
+        v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+        return (v[0] + v[1] + v[2] + v[5] + v[6] + v[7]) / 100.0
+
+    b0 = snap()
+    time.sleep(dt)
+    return (snap() - b0) / dt
+
+
+def wait_idle(limit: float = 1.0, timeout: float = 600) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if total_busy() < limit:
+            return True
+        time.sleep(5)
+    return False
+
+
+def settle() -> None:
+    """Poke the kernel's compactor — this VM's first-touch faults go ~100x
+    slow after large frees until compaction runs (BENCH_SCALING.md)."""
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+
+
 def _wait_host_idle(limit_cores: float = 1.0, timeout: float = 120) -> None:
     """Short idle gate before the timed suite (same hygiene as the scaling
     harness): the sandbox host carries bursty external load, and starting
     into a storm records weather, not code. Bounded wait — if the storm
     outlasts the timeout we proceed and the per-query best-of-N minimum is
     the fallback defense."""
-
-    def busy(dt: float = 2.0) -> float:
-        def snap():
-            v = list(map(int, open("/proc/stat").readline().split()[1:9]))
-            return (v[0] + v[1] + v[2] + v[5] + v[6] + v[7]) / 100.0
-
-        b0 = snap()
-        time.sleep(dt)
-        return (snap() - b0) / dt
-
-    try:
-        with open("/proc/sys/vm/compact_memory", "w") as f:
-            f.write("1")
-    except OSError:
-        pass
-    t0 = time.time()
-    while time.time() - t0 < timeout:
-        if busy() < limit_cores:
-            return
-        time.sleep(5)
+    settle()
+    wait_idle(limit=limit_cores, timeout=timeout)
 
 
 def run_bench(cpus: int) -> dict:

@@ -4,11 +4,16 @@ The north rule's deployment shape (BASELINE.json): the engine runs via
 
     spark-submit --master <cluster> \\
         --py-files dist/review_crawler_spark.zip \\
-        jobs/run_crawl.py --store s3://bucket/crawl-state \\
-        --site-graph s3://bucket/site_graph.parquet \\
-        --site-links s3://bucket/site_links.parquet \\
-        --seeds s3://bucket/seeds.parquet --max-waves 100
+        jobs/run_crawl.py --store /mnt/shared/crawl-state \\
+        --site-graph /mnt/shared/site_graph.parquet \\
+        --site-links /mnt/shared/site_links.parquet \\
+        --seeds /mnt/shared/seeds.parquet --max-waves 100
 
+``--store`` must be a shared POSIX filesystem visible to driver and
+executors (NFS/EFS/Lustre): SnapshotStore is the sandbox's file-based
+Iceberg stand-in — atomic-rename manifests + per-wave parquet partitions
+(see crawler/checkpoint.py's seam notes). Object stores (s3://) need the
+documented Iceberg-catalog swap-in, not a URI pasted into this flag.
 Cluster topology (master, executor count/cores/memory, dynamic allocation)
 belongs on the submit line; this script only declares the job, so the SAME
 artifact runs at N and 4N executors for the scaling criterion. Build the

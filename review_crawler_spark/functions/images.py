@@ -46,12 +46,18 @@ GIF_PALETTE = (
 )
 
 
+def gif_index(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB → (h, w) uint8 index into GIF_PALETTE. The single
+    definition of the cube mapping — encode and prequantize both use it,
+    so the lossless-roundtrip invariant can't drift between them."""
+    q = pixels.astype(np.int32) // 43
+    return (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
+
+
 def gif_prequantize(pixels: np.ndarray) -> np.ndarray:
     """Snap RGB pixels to the 216-color GIF cube — the palette step every
     real GIF goes through before encoding; idempotent."""
-    q = pixels.astype(np.int32) // 43
-    idx = q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]
-    return GIF_PALETTE[idx]
+    return GIF_PALETTE[gif_index(pixels)]
 
 DECODED_SCHEMA = (
     "image_id string, w int, h int, fmt string, caption string, "
@@ -68,9 +74,7 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         return encode_jpeg(pixels, _JPEG_QUALITY)
     if fmt == "gif":
-        q = pixels.astype(np.int32) // 43
-        idx = (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
-        return encode_gif(idx, GIF_PALETTE)
+        return encode_gif(gif_index(pixels), GIF_PALETTE)
     raise ValueError(f"unknown format {fmt!r}")
 
 

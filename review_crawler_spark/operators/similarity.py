@@ -354,6 +354,9 @@ def ann_topk_ivf_indexed_batch(
         order = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
+    # cached: the bucket_ids collect below and the candidate join both
+    # consume it — without the cache the Arrow probe-assignment pass and
+    # the full query-table scan execute twice per call
     probed = (
         queries.select(
             F.col(query_id_col),
@@ -362,7 +365,7 @@ def ann_topk_ivf_indexed_batch(
         )
         .withColumn("bucket", F.explode("_probes"))
         .drop("_probes")
-    )
+    ).cache()
     # union of probed lists: bounded by n_centroids (NOT query count) —
     # the one justified driver collect, powering static partition pruning
     bucket_ids = sorted(

@@ -39,33 +39,17 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-
-def total_busy(dt: float = 3.0) -> float:
-    def snap():
-        v = list(map(int, open("/proc/stat").readline().split()[1:9]))
-        return (v[0] + v[1] + v[2] + v[5] + v[6] + v[7]) / 100.0
-
-    b0 = snap()
-    time.sleep(dt)
-    return (snap() - b0) / dt
-
-
-def wait_idle(limit: float = 1.0, timeout: float = 600) -> bool:
-    t0 = time.time()
-    while time.time() - t0 < timeout:
-        if total_busy() < limit:
-            return True
-        time.sleep(10)
-    return False
+# single source of truth for host gating — bench.py owns the /proc/stat
+# busy formula and the compact_memory settle; importing keeps the bench
+# gate and the scaling windows from silently diverging
+from bench import settle as _settle  # noqa: E402
+from bench import total_busy, wait_idle  # noqa: E402,F401
 
 
 def settle() -> None:
-    try:
-        with open("/proc/sys/vm/compact_memory", "w") as f:
-            f.write("1")
-    except OSError:
-        pass
+    _settle()
     time.sleep(5)
 
 
