@@ -67,6 +67,21 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(str(path))
         return str(path)
 
+    def drop_delta_partitions_below(self, name: str, wave: int) -> int:
+        """GC plain delta-log partitions w < wave. Same contract as the
+        bucketed variant: only call with a wave at or below a COMMITTED
+        baseline partition that supersedes everything dropped (e.g. the
+        full bloom-shard snapshot a compaction wave writes)."""
+        base = self.base / name
+        if not base.exists():
+            return 0
+        dropped = 0
+        for p in base.glob("w=*"):
+            if int(p.name.split("=")[1]) < wave:
+                shutil.rmtree(p, ignore_errors=True)
+                dropped += 1
+        return dropped
+
     def read_deltas(self, spark: SparkSession, name: str, up_to_wave: int) -> DataFrame:
         """Union of all committed deltas (partition-pruned to w ≤ wave).
 

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from ..functions.urls import with_url_identity
 from ..schemas import FRONTIER_SCHEMA
 from ..sources.sitegen import ROBOTS_RULES
-from . import bloom
+from . import bloom, cuckoo
 from .checkpoint import SnapshotStore
 from .robots import filter_allowed, rules_tables
 
@@ -103,6 +103,7 @@ class CrawlEngine:
         seen_buckets: int = 16,
         frontier_buckets: int = 16,
         compact_every: int = 0,
+        seen_filter: str = "bloom",
     ):
         self.spark = spark
         # site pages keyed by canonical url; cached — it is the fetch "network"
@@ -114,6 +115,15 @@ class CrawlEngine:
         self.budget = budget
         self.num_bloom_shards = num_bloom_shards
         self.use_bloom = use_bloom
+        # the URL-seen prefilter is pluggable (north rule: "bloom/cuckoo"):
+        # both modules expose the same build/update/dedup_and_probe surface
+        # and both are prefilters ahead of the exact-confirm join, so the
+        # golden crawl order is identical under either. cuckoo additionally
+        # supports delete_keys (recrawl/TTL expiry) at ~2 bytes/key.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
+        self._seen_mod = {"bloom": bloom, "cuckoo": cuckoo}[seen_filter]
+        self._shard_bits = self._seen_mod.SHARD_BITS_DEFAULT
         self.seen_buckets = seen_buckets
         self.max_attempts = max_attempts
         self.num_salts = num_salts
@@ -185,7 +195,10 @@ class CrawlEngine:
         # shards its admissions changed (round-3 VERDICT #2: persisting all
         # P shards per wave is ~12 GB of write I/O per wave at 10^10 keys)
         self.store.append_delta(
-            "bloom_log", 0, bloom.build_shards(self.url_seen, self.num_bloom_shards)
+            "bloom_log", 0,
+            self._seen_mod.build_shards(
+                self.url_seen, self.num_bloom_shards, self._shard_bits
+            ),
         )
         self.bloom_shards = self._read_bloom(0)
         self.next_wave = 0
@@ -289,6 +302,19 @@ class CrawlEngine:
                 self.store.drop_bucketed_partitions_below(
                     self.spark, name, self._frontier_base
                 )
+            # bloom_log compacts on the same cadence: the compaction wave
+            # wrote a FULL shard snapshot at w=base, so every older delta
+            # is superseded — without this GC the per-wave LWW read costs
+            # O(all historical shard versions), growing linearly with wave
+            # count at a standing frontier
+            self.store.drop_delta_partitions_below(
+                "bloom_log", self._frontier_base
+            )
+            # the LWW view read at last wave's end is CACHED LAZILY — its
+            # file listing still names the deltas just dropped; rebuild it
+            # over the surviving baseline+deltas (identical content by the
+            # snapshot invariant) before anything materializes it
+            self.bloom_shards = self._read_bloom(wave)
             self._gc_done_base = self._frontier_base
         # cached: isEmpty probes it, the schedule window consumes it fully,
         # and a compaction wave re-reads it for the untouched-rows fold —
@@ -421,17 +447,37 @@ class CrawlEngine:
         # rows — no read-back dependency on the url_seen write, so this
         # join joins the parallel pool too); untouched shards are neither
         # read, merged, nor rewritten
+        shards_delta = touched = None
         if n_new > 0:
             touched = seen_delta.select(
                 F.col("partition_id").alias("shard_id")
             ).distinct()
-            shards_delta = bloom.update_shards(
+            shards_delta = self._seen_mod.update_shards(
                 self.bloom_shards.join(
                     F.broadcast(touched), "shard_id", "left_semi"
                 ),
                 seen_delta,
                 self.num_bloom_shards,
+                self._shard_bits,
             )
+        if new_base > self._frontier_base:
+            # compaction wave: persist the FULL live shard set (untouched ∪
+            # updated) as the w=new_base baseline — next wave's GC then
+            # drops every older bloom delta, keeping the LWW read bounded
+            # by compact_every deltas instead of the whole crawl's history
+            bloom_out = (
+                self.bloom_shards
+                if shards_delta is None
+                else self.bloom_shards.join(
+                    F.broadcast(touched), "shard_id", "left_anti"
+                ).unionByName(shards_delta)
+            )
+            writes.append(
+                lambda: self.store.append_delta(
+                    "bloom_log", wave + 1, bloom_out
+                )
+            )
+        elif shards_delta is not None:
             writes.append(
                 lambda: self.store.append_delta(
                     "bloom_log", wave + 1, shards_delta
@@ -448,9 +494,13 @@ class CrawlEngine:
             .select(
                 F.lit(wave).alias("wave"), "host", "urls_scheduled",
                 F.coalesce("urls_fetched", F.lit(0)).alias("urls_fetched"),
-                F.lit(n_new).alias("urls_admitted"),
-                F.lit(n_err).alias("errors"),
-                F.lit(int((time.time() - t0) * 1000)).alias("wall_ms"),
+                # explicit longs: python-int lits default to int32, which
+                # would disagree with the empty-store schema in metrics()
+                F.lit(n_new).cast("long").alias("urls_admitted"),
+                F.lit(n_err).cast("long").alias("errors"),
+                F.lit(int((time.time() - t0) * 1000)).cast("long").alias(
+                    "wall_ms"
+                ),
             )
         )
         writes.append(
@@ -511,13 +561,14 @@ class CrawlEngine:
             # materialized once: the fresh/suspect split consumes probed in
             # two plan branches — without this the canonicalize + cogroup
             # probe would execute twice per wave
-            probed = bloom.dedup_and_probe(
+            probed = self._seen_mod.dedup_and_probe(
                 allowed.select(
                     "url", "canonical_url", "url_hash", "host",
                     "priority", "depth", "seq",
                 ),
                 shards,
                 self.num_bloom_shards,
+                self._shard_bits,
             ).localCheckpoint(eager=True)
             # handle kept so run_wave can release the checkpointed blocks
             # after commit — otherwise they accumulate in executor storage

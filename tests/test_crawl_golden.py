@@ -95,6 +95,32 @@ def test_bloom_off_equivalence(spark, tmp_path, sim_result):
     assert order == sim_result.fetch_order
 
 
+def test_cuckoo_filter_equivalence(spark, tmp_path, sim_result):
+    """seen_filter="cuckoo" is the other half of the north rule's
+    "bloom/cuckoo" prefilter: swapping it in must reproduce the exact
+    golden crawl order (the filter is only ever a prefilter ahead of the
+    exact-confirm join, so this holds for any correct filter)."""
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_cuckoo")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        num_bloom_shards=4,
+        seen_filter="cuckoo",
+    )
+    eng.seed(seeds())
+    eng.run(max_waves=100)
+    order = [
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    ]
+    assert order == sim_result.fetch_order
+    seen = {r["canonical_url"] for r in eng.url_seen_set().collect()}
+    assert seen == sim_result.url_seen
+
+
 def _run_engine(spark, store, site, max_waves=100):
     eng = CrawlEngine(
         spark,
@@ -307,6 +333,19 @@ def test_compaction_preserves_golden_and_gcs_logs(spark, tmp_path, sim_result):
         for p in (store.base / "frontier_log").glob("w=*")
     }
     assert min(log_waves) >= 3, f"pre-base partitions not GC'd: {log_waves}"
+    # bloom_log compacts on the same cadence: the compaction wave wrote a
+    # FULL shard snapshot at w=base and older deltas were GC'd — the LWW
+    # read stays bounded by compact_every deltas, not crawl history
+    bloom_waves = {
+        int(p.name.split("=")[1])
+        for p in (store.base / "bloom_log").glob("w=*")
+    }
+    assert min(bloom_waves) >= 3, f"bloom deltas not GC'd: {bloom_waves}"
+    n_shards = (
+        spark.read.parquet(str(store.base / "bloom_log" / "w=3"))
+        .select("shard_id").distinct().count()
+    )
+    assert n_shards == 4, "compaction must snapshot EVERY shard"
 
     # kill → resume → finish: still golden
     eng2 = CrawlEngine(
