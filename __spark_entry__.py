@@ -1309,6 +1309,45 @@ WHERE doc_id % 3 = 0 AND doc_id % 6 != 0
 """
 
 
+def _q_cuckoo_expire_readmit(spark, sf_dir):
+    """C3 via the cuckoo half of the north rule's "bloom/cuckoo" URL-seen
+    filter: TTL-expire stale seen entries (delete_keys — the capability a
+    bloom lacks) and re-admit their URLs, with the usual exact-confirm join
+    behind the prefilter so the output is exact regardless of filter FPP.
+
+    Scenario on the orders table: seen = finished orders; entries older
+    than 1994-01-01 have expired their freshness window; admitted = every
+    order not in the LIVE seen set (fresh orders ∪ expired re-admissions).
+    """
+    from review_crawler_spark.crawler import cuckoo
+
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderdate",
+        F.xxhash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
+    )
+    seen = keyed.filter(F.col("o_orderstatus") == "F")
+    expired = seen.filter(F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+    live = seen.join(expired.select("o_orderkey"), "o_orderkey", "left_anti")
+
+    shards = cuckoo.build_shards(seen.select("url_hash"), num_shards=8)
+    after = cuckoo.delete_keys(shards, expired.select("url_hash"), num_shards=8)
+    probed = cuckoo.probe(keyed.select("o_orderkey", "url_hash"), after, num_shards=8)
+    fresh = probed.filter(~F.col("maybe_seen"))
+    confirmed = probed.filter(F.col("maybe_seen")).join(
+        live.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return fresh.unionByName(confirmed).select("o_orderkey")
+
+
+_SQL_CUCKOO_EXPIRE = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '1994-01-01')
+"""
+
+
 def _q_f2_exists(spark, sf_dir):
     """F2 reviewed-detection: exists(links, endswith review_report)
     (mdpi_spider.py:91-101)."""
@@ -1582,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_flatten_dedup": _q_x21_flatten_dedup,
         "x8_scrub_whitespace": _q_x8_scrub,
         "j7_stage2_frontier": _q_j7_stage2_frontier,
+        "cuckoo_expire_readmit": _q_cuckoo_expire_readmit,
         "f2_exists_reviews": _q_f2_exists,
         "a2_a3_stats": _q_a2_a3_stats,
         "x10_x11_arrays": _q_x10_x11_arrays,
@@ -1630,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "x21_flatten_dedup": _SQL_X21_FLATTEN,
         "x8_scrub_whitespace": _SQL_X8_SCRUB,
         "j7_stage2_frontier": _SQL_J7_STAGE2,
+        "cuckoo_expire_readmit": _SQL_CUCKOO_EXPIRE,
         "f2_exists_reviews": _SQL_F2_EXISTS,
         "a2_a3_stats": _SQL_A2_A3,
         "x10_x11_arrays": _SQL_X10_X11,
