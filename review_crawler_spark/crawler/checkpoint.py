@@ -233,17 +233,23 @@ class SnapshotStore:
         return self._spec_path(name).exists()
 
     def read_bucketed_deltas_range(
-        self, spark: SparkSession, name: str, from_wave: int, up_to_wave: int
+        self,
+        spark: SparkSession,
+        name: str,
+        from_wave: int,
+        up_to_wave: int,
+        keep_wave: bool = False,
     ) -> DataFrame:
         """Committed deltas with from ≤ w ≤ up_to (partition-pruned both
         ends) — the frontier-log read: appends since the last compaction
-        baseline, never the table's full history."""
+        baseline, never the table's full history. ``keep_wave`` retains the
+        ``w`` partition column (tombstone reads use it as the event's epoch
+        in inequality join conditions)."""
         tbl = self.ensure_bucketed_registered(spark, name)
-        return (
-            spark.table(tbl)
-            .filter((F.col("w") >= from_wave) & (F.col("w") <= up_to_wave))
-            .drop("w")
+        out = spark.table(tbl).filter(
+            (F.col("w") >= from_wave) & (F.col("w") <= up_to_wave)
         )
+        return out if keep_wave else out.drop("w")
 
     def drop_bucketed_partitions_below(
         self, spark: SparkSession, name: str, wave: int

@@ -189,7 +189,7 @@ class CrawlEngine:
         self.store.append_delta_bucketed(
             "url_seen", 0, seed_seen, SEEN_BUCKET_COLS, self.seen_buckets
         )
-        self.url_seen = self.store.read_bucketed_deltas(self.spark, "url_seen", 0)
+        self.url_seen = self._read_seen(0)
         # bloom shards live in a per-wave TOUCHED-shard delta log: the seed
         # build is the w=0 baseline; every later wave appends only the
         # shards its admissions changed (round-3 VERDICT #2: persisting all
@@ -202,6 +202,30 @@ class CrawlEngine:
         )
         self.bloom_shards = self._read_bloom(0)
         self.next_wave = 0
+
+    def _read_seen(self, up_to_wave: int) -> DataFrame:
+        """The LIVE url_seen view: cumulative bucketed appends minus TTL
+        expirations. A tombstone written at wave T kills seen rows with
+        first_wave ≤ T, so a re-admission appended later survives older
+        tombstones — expire → readmit → expire cycles apply in order.
+        Both sides are bucketed by exactly (url_hash, canonical_url), so
+        the anti-join plans zero Exchange; the epoch inequality rides
+        along as a join filter. When no expiry ever happened the view is
+        the plain append log (no tombstone table, no extra join)."""
+        seen = self.store.read_bucketed_deltas(
+            self.spark, "url_seen", up_to_wave
+        )
+        if not self.store.has_bucketed("seen_tombstones"):
+            return seen
+        tombs = self.store.read_bucketed_deltas(
+            self.spark, "seen_tombstones", up_to_wave
+        )
+        cond = (
+            (seen["url_hash"] == tombs["url_hash"])
+            & (seen["canonical_url"] == tombs["canonical_url"])
+            & (tombs["tomb_wave"] >= seen["first_wave"])
+        )
+        return seen.join(tombs, cond, "left_anti")
 
     def _read_bloom(self, up_to_wave: int) -> DataFrame:
         """Reconstruct the live shard set: newest version of each shard
@@ -230,12 +254,161 @@ class CrawlEngine:
         self._frontier_base = int(
             self.store.manifest(last).get("frontier_base", 0)
         )
-        self.url_seen = self.store.read_bucketed_deltas(
-            self.spark, "url_seen", last + 1
-        )
+        self.url_seen = self._read_seen(last + 1)
         self.bloom_shards = self._read_bloom(last + 1)
         self.next_wave = last + 1
         return True
+
+    # --------------------------------------------------- recrawl maintenance
+    def expire_seen(self, urls: DataFrame) -> int:
+        """TTL/recrawl expiry — remove canonical URLs from the LIVE
+        url_seen view so they become admissible again (rediscovery via
+        links, or `enqueue`). The standing-crawl freshness operation the
+        reference lacks entirely (it re-checks file existence per article,
+        /root/reference/plos_crawler.py:293-297 — delete the file to
+        recrawl one URL).
+
+        O(expired) everywhere: a bucketed seen-tombstone append (wave-
+        epoch'd so later re-admissions survive it) plus, under
+        ``seen_filter="cuckoo"``, `delete_keys` over only the touched
+        shards — the deletable-filter capability. Under "bloom" the
+        fingerprints stay until a shard rebuild; that costs prefilter
+        precision only, never correctness (expired keys probe maybe_seen
+        and the exact-confirm join against the live view re-admits them)
+        — but a recrawl-heavy standing crawl should run the cuckoo filter
+        or its bloom FPP degrades monotonically.
+
+        Consumes one wave number and publishes its own manifest, so a
+        kill directly after expiry resumes consistently; its table writes
+        land at w = wave+1 like a normal wave's, so an unpublished crash
+        leaves only invisible orphans (the manifest is the commit point).
+
+        ``urls``: DataFrame with a ``canonical_url`` column; rows not in
+        the live seen view are ignored. Returns the number expired."""
+        if self.url_seen is None:
+            raise ValueError("expire_seen before seed()/resume()")
+        wave = self.next_wave
+        victims = (
+            self.url_seen.join(
+                urls.select("canonical_url").distinct(),
+                "canonical_url", "left_semi",
+            )
+            .select("url_hash", "canonical_url", "first_wave", "partition_id")
+            .localCheckpoint(eager=True)  # one snapshot, three consumers
+        )
+        n = victims.count()
+        if n == 0:
+            return 0
+        # tomb_wave = wave kills every currently-live row (all have
+        # first_wave ≤ wave); re-admissions get first_wave ≥ wave+1
+        self.store.append_delta_bucketed(
+            "seen_tombstones", wave + 1,
+            victims.select(
+                "url_hash", "canonical_url",
+                F.lit(wave).cast("int").alias("tomb_wave"),
+            ),
+            SEEN_BUCKET_COLS, self.seen_buckets,
+        )
+        if hasattr(self._seen_mod, "delete_keys"):
+            touched = victims.select(
+                F.col("partition_id").alias("shard_id")
+            ).distinct()
+            shards_after = self._seen_mod.delete_keys(
+                self.bloom_shards.join(
+                    F.broadcast(touched), "shard_id", "left_semi"
+                ),
+                victims, self.num_bloom_shards, self._shard_bits,
+            )
+            self.store.append_delta("bloom_log", wave + 1, shards_after)
+        self.store.commit_wave(
+            wave, {},
+            extra={
+                "frontier_base": self._frontier_base,
+                "maintenance": "expire", "expired": n,
+            },
+        )
+        self.next_wave = wave + 1
+        self.url_seen = self._read_seen(wave + 1)
+        self.bloom_shards = self._read_bloom(wave + 1)
+        return n
+
+    def enqueue(self, seed_rows: list[tuple[str, int, int]]) -> int:
+        """Mid-crawl seed injection — the standing-frontier operation
+        (sitemap pings, recrawl campaigns re-entering expired URLs) the
+        north rule's 10^10-entry frontier implies: new work arrives while
+        the crawl runs, without resetting any state the way `seed` does.
+
+        ``seed_rows``: (url, seq, priority) like `seed`. URLs already in
+        the LIVE url_seen view are dropped (exact admission — at seed-
+        batch scale no prefilter pass is worth a shuffle); the rest enter
+        the frontier at the next wave, are recorded seen (first_wave =
+        wave+1, so they survive older expiry tombstones), and their
+        fingerprints join the seen-filter via the touched shards only.
+        Consumes one wave number with its own manifest. Returns the
+        number actually enqueued."""
+        if self.url_seen is None:
+            raise ValueError("enqueue before seed()/resume()")
+        wave = self.next_wave
+        raw = self.spark.createDataFrame(
+            seed_rows, "url string, seq long, priority long"
+        )
+        ident = with_url_identity(raw)
+        rows = (
+            ident.join(
+                self.url_seen.select("url_hash", "canonical_url"),
+                ["url_hash", "canonical_url"], "left_anti",
+            )
+            .select(
+                "url", "canonical_url", "url_hash", "host",
+                F.col("priority").cast("long"),
+                F.lit(0).alias("depth"),
+                F.lit(wave + 1).alias("wave"),
+                F.col("seq").cast("long"),
+                F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = rows.count()
+        if n == 0:
+            return 0
+        seen_delta = rows.select(
+            "url_hash", "canonical_url",
+            F.lit(wave + 1).alias("first_wave"),
+            bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
+                "partition_id"
+            ),
+        )
+        self.store.append_delta_bucketed(
+            "frontier_log", wave + 1, rows, FRONTIER_KEY,
+            self.frontier_buckets,
+        )
+        self.store.append_delta_bucketed(
+            "url_seen", wave + 1, seen_delta, SEEN_BUCKET_COLS,
+            self.seen_buckets,
+        )
+        touched = seen_delta.select(
+            F.col("partition_id").alias("shard_id")
+        ).distinct()
+        self.store.append_delta(
+            "bloom_log", wave + 1,
+            self._seen_mod.update_shards(
+                self.bloom_shards.join(
+                    F.broadcast(touched), "shard_id", "left_semi"
+                ),
+                seen_delta, self.num_bloom_shards, self._shard_bits,
+            ),
+        )
+        self.store.commit_wave(
+            wave, {},
+            extra={
+                "frontier_base": self._frontier_base,
+                "maintenance": "enqueue", "enqueued": n,
+            },
+        )
+        self.next_wave = wave + 1
+        self.url_seen = self._read_seen(wave + 1)
+        self.bloom_shards = self._read_bloom(wave + 1)
+        return n
 
     # ------------------------------------------------------------- frontier
     def _queued(self, wave: int) -> DataFrame:
@@ -252,9 +425,22 @@ class CrawlEngine:
         ):
             return logs
         tombs = self.store.read_bucketed_deltas_range(
-            self.spark, "frontier_tombstones", self._frontier_base, wave - 1
+            self.spark, "frontier_tombstones", self._frontier_base, wave - 1,
+            keep_wave=True,
         )
-        return logs.join(tombs, list(FRONTIER_KEY), "left_anti")
+        # epoch-aware: a tombstone written at wave T consumes only rows
+        # (re)queued at wave ≤ T — a URL re-admitted AFTER seen-expiry
+        # re-enters the log at a later wave and must survive the tombstone
+        # from its previous crawl. Equi keys are still exactly the bucket
+        # columns, so the anti-join stays Exchange-free; the epoch test
+        # rides along as a join filter.
+        cond = (
+            (logs["url_hash"] == tombs["url_hash"])
+            & (logs["canonical_url"] == tombs["canonical_url"])
+            & (logs["attempt"] == tombs["attempt"])
+            & (tombs["w"] >= logs["wave"])
+        )
+        return logs.join(tombs, cond, "left_anti")
 
     @property
     def frontier(self) -> DataFrame:
@@ -507,8 +693,22 @@ class CrawlEngine:
             lambda: self.store.append_delta("metrics_log", wave, metrics)
         )
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            for fut in [pool.submit(w) for w in writes]:
-                fut.result()  # re-raise the first failure
+            futs = [pool.submit(w) for w in writes]
+            failed_writes = []
+            for i, fut in enumerate(futs):
+                try:
+                    fut.result()
+                except Exception:  # noqa: BLE001 — retried synchronously below
+                    failed_writes.append(i)
+            # every delta write is idempotent (its target partition is
+            # dropped before the write), so one synchronous retry is safe —
+            # it absorbs transient cached-block races between concurrent
+            # jobs (observed once under load: "Block rdd_N does not exist"
+            # while sibling writes scanned the same cached wave frames);
+            # a deterministic failure re-raises here and aborts the wave
+            # BEFORE the manifest publishes, exactly like the first attempt
+            for i in failed_writes:
+                writes[i]()
 
         # the manifest is the commit point: every delta above is on disk
         self.store.commit_wave(
@@ -532,9 +732,7 @@ class CrawlEngine:
 
         # lineage barrier: read back what we just committed (the frontier
         # needs none — _queued derives from the on-disk bucketed logs)
-        self.url_seen = self.store.read_bucketed_deltas(
-            self.spark, "url_seen", wave + 1
-        )
+        self.url_seen = self._read_seen(wave + 1)
         self.bloom_shards = self._read_bloom(wave + 1)
         self.next_wave = wave + 1
         stats = WaveStats(
