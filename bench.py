@@ -428,6 +428,27 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--child-once") + 1])
         spark = build_session(cpus)
         spark.range(1).count()
+        barrier = os.environ.get("BENCH_BARRIER")
+        if barrier:
+            # start barrier: JVM launch (heap pretouch = GBs of first-touch
+            # faults), codegen, python-worker spawn, and shared-input
+            # materialization all happen BEFORE any sibling's timed run
+            # begins. Without it the 4-executor arm's fastest-starting
+            # child times its job against siblings still faulting their
+            # heaps in — a bias that punishes only the t4 arm (the lone
+            # t1 child has no siblings), i.e. biases efficiency DOWN.
+            # full-size untimed warm run (warm-run-then-timed protocol):
+            # JIT, page cache over the input parquet, python workers, and
+            # shuffle dirs are all hot before the barrier releases. Input
+            # materialization is race-free: the t1 arm always runs before
+            # the t4 arm inside a window, so the lone child creates the
+            # shared /tmp inputs and the quartet only reads them.
+            bench_frontier_pipeline(spark, SCALING_N)
+            ready = os.path.join(barrier, f"ready.{os.getpid()}")
+            open(ready, "w").close()
+            go = os.path.join(barrier, "go")
+            while not os.path.exists(go):
+                time.sleep(0.1)
         dt, n_out = bench_frontier_pipeline(spark, SCALING_N)
         print("ONCE_RESULT " + json.dumps({"cpus": cpus, "sec": round(dt, 3)}),
               flush=True)

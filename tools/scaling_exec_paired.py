@@ -36,6 +36,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,12 +49,22 @@ from bench import settle as _settle  # noqa: E402
 from bench import total_busy, wait_idle  # noqa: E402,F401
 
 
+ESTIMATOR = "sandwich-interleaved-barrier"
+
+
 def settle() -> None:
     _settle()
     time.sleep(5)
 
 
 def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
+    # start barrier: every child finishes JVM launch (heap pretouch),
+    # codegen/python-worker warmup, and input materialization, THEN all
+    # timed runs are released together onto a just-settled host. Without
+    # it the quartet's fastest-starting child times its job against
+    # siblings still faulting 6 GB heaps in — an overhead only the t4 arm
+    # pays (the lone child has no siblings), biasing efficiency down.
+    barrier = tempfile.mkdtemp(prefix="sbarrier_")
     procs = []
     for i in range(n):
         env = {
@@ -64,6 +75,7 @@ def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
             "SPARK_GRAFT_JVM_PRETOUCH": "1",
             "SPARK_GRAFT_JVM_PROCS": str(cores),
             "BENCH_SCALING_N": str(scaling_n),
+            "BENCH_BARRIER": barrier,
         }
         procs.append(
             subprocess.Popen(
@@ -71,12 +83,22 @@ def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
                 stdout=subprocess.PIPE, text=True, cwd=REPO, env=env,
             )
         )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        ready = [f for f in os.listdir(barrier) if f.startswith("ready.")]
+        if len(ready) >= n or any(p.poll() is not None for p in procs):
+            break  # all warmed (or a child died — release and let it report)
+        time.sleep(0.2)
+    _settle()  # absorb the warmup's own page-fault wake before timing
+    with open(os.path.join(barrier, "go"), "w"):
+        pass
     secs = []
     for p in procs:
         out, _ = p.communicate()
         for line in out.splitlines():
             if line.startswith("ONCE_RESULT "):
                 secs.append(json.loads(line[len("ONCE_RESULT "):])["sec"])
+    shutil.rmtree(barrier, ignore_errors=True)
     return secs
 
 
@@ -118,12 +140,21 @@ def main() -> None:
             #   (sum of per-executor rates, executors stream independent
             #   slices) to 4x the single-executor rate. This is the north
             #   rule's literal quantity ("throughput scaling efficiency").
+            # bracket_drift: disagreement between the window's two t1
+            # measurements of the SAME arm — the stationarity the paired
+            # estimator assumes. Computed from t1 alone (never from the
+            # efficiency value or its direction), so gating on it filters
+            # invalid measurements, not unfavorable ones: when the two
+            # brackets disagree 2x, no ratio taken inside that window
+            # means anything.
+            b1, b2 = min(s1a), min(s1b)
             new_windows.append(
                 {
                     "window": w,
-                    "estimator": "sandwich-interleaved",
+                    "estimator": ESTIMATOR,
                     "t1": t1,
-                    "t1_brackets": [min(s1a), min(s1b)],
+                    "t1_brackets": [b1, b2],
+                    "bracket_drift": round(abs(b1 - b2) / min(b1, b2), 3),
                     "t4": max(s4),
                     "per_exec": s4,
                     "eff_batch": round(t1 / max(s4), 3),
@@ -142,17 +173,35 @@ def main() -> None:
     # windows from prior sessions remain valid evidence ONLY if they used
     # this estimator at this work size — every summary statistic below is
     # computed over exactly this one set (round-3 ADVICE: mixed-population
-    # summaries are not comparable)
+    # summaries are not comparable). The start barrier changed what a
+    # window measures (it removed a t4-only startup-overlap bias), so
+    # barrier windows carry their own estimator tag and pre-barrier
+    # windows are preserved separately, never pooled.
     old_windows = [
         p for p in old.get("windows", [])
-        if p.get("estimator") == "sandwich-interleaved"
+        if p.get("estimator") == ESTIMATOR
         and old.get("n_per_exec") == scaling_n
+    ]
+    prior_estimators = [
+        p for p in old.get("windows", [])
+        + old.get("windows_prior_estimators", [])
+        if p.get("estimator") != ESTIMATOR
     ]
     all_windows = old_windows + new_windows
     legacy = old.get("pairs_legacy", old.get("pairs", []))
     if all_windows:
         effs_b = [p["eff_batch"] for p in all_windows]
         effs_t = [p["eff_tput"] for p in all_windows]
+        # stationary subset: windows whose two t1 brackets agree within
+        # 25% — the pre-declared validity gate (see bracket_drift comment
+        # above; drift is derived only from repeated measurements of the
+        # one-executor arm, so the gate cannot see which way the window's
+        # efficiency points)
+        stationary = [
+            p for p in all_windows
+            if abs(p["t1_brackets"][0] - p["t1_brackets"][1])
+            / min(p["t1_brackets"]) <= 0.25
+        ]
         report = {
             "mode": "executor-model-paired",
             "exec_cores": 4,
@@ -161,18 +210,31 @@ def main() -> None:
             "harness": (
                 "tools/scaling_exec_paired.py (idle-gated interleaved "
                 "windows, heap-pretouch, explicit spark.stop, sandwich "
-                "estimator t1->t4->t1 per window)"
+                "estimator t1->t4->t1 per window, start barrier: all "
+                "children warm JVM+codegen+python workers then release "
+                "timed runs together)"
             ),
             "windows": all_windows,
             "n_windows": len(all_windows),
             "median_eff_tput": round(_median(effs_t), 3),
             "median_eff_batch": round(_median(effs_b), 3),
+            "stationarity_gate": "t1-bracket drift <= 0.25",
+            "n_windows_stationary": len(stationary),
+            "median_eff_tput_stationary": (
+                round(_median([p["eff_tput"] for p in stationary]), 3)
+                if stationary else None
+            ),
+            "median_eff_batch_stationary": (
+                round(_median([p["eff_batch"] for p in stationary]), 3)
+                if stationary else None
+            ),
             "best_eff_tput": max(effs_t),
             "best_eff_batch": max(effs_b),
             "agg_urls_per_sec_4exec_best": round(
                 max(sum(scaling_n / t for t in p["per_exec"])
                     for p in all_windows), 1
             ),
+            "windows_prior_estimators": prior_estimators,
             "pairs_legacy": legacy,
             "uncontrolled_residual": (
                 "host page-fault/reclaim stalls vary 3x hour-to-hour; "
