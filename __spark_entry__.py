@@ -1575,6 +1575,77 @@ def _q_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_corpus_ids() -> list[str]:
+    """Deterministic image-payload corpus with planted perceptual dups.
+
+    150 distinct figures; the first 40 get one ``~dup1`` near-copy and the
+    first 10 additionally a ``~dup2`` (three-image chains exercise
+    transitivity: dup1↔dup2 may or may not clear the Hamming budget, and
+    the oracle brute-forces the same rule, so either outcome matches).
+    """
+    bases = [f"www.mdpi.com/article/{n}/fig1" for n in range(150)]
+    return (
+        bases
+        + [f"{b}~dup1" for b in bases[:40]]
+        + [f"{b}~dup2" for b in bases[:10]]
+    )
+
+
+def _q_dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection over the input_hint
+    payload table: encode→decode through the real pure-Python codecs,
+    average-hash the decoded pixels (the table's stored ``phash``), then
+    exact-recall Hamming≤4 pairing via pigeonhole banding
+    (`operators/dedup.py:phash_near_pairs`).
+
+    Only (image_id, phash) ever shuffles — the banding exchange is ~16
+    bytes/row however large the figure bytes are, which is what makes
+    this the 100 TB-safe image analog of simhash text dedup. The oracle
+    is an independent DuckDB brute-force: bit_count(xor(a,b)) over the
+    same generator-produced phash values (generator shared as fixture;
+    the pair LOGIC — banding vs O(n²) scan — is fully independent).
+    """
+    from review_crawler_spark.operators.dedup import phash_near_pairs
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids()).select("image_id", "phash")
+    return (
+        phash_near_pairs(imgs, max_hamming=4)
+        .select(
+            F.col("id_a").alias("image_a"),
+            F.col("id_b").alias("image_b"),
+            "hamming",
+        )
+        .orderBy("image_a", "image_b")
+    )
+
+
+_PHASH_SQL_CACHE: list[str] = []
+
+
+def _sql_dedup_phash() -> str:
+    """DuckDB oracle: brute-force all-pairs Hamming over the same phash
+    values (inline VALUES; computed once per process — the pure-Python
+    codec round-trip for 200 figures costs ~1 s)."""
+    if not _PHASH_SQL_CACHE:
+        from review_crawler_spark.sources.images_table import make_image
+
+        vals = ",\n".join(
+            f"('{i}', {make_image(i)['phash']})" for i in _phash_corpus_ids()
+        )
+        _PHASH_SQL_CACHE.append(
+            f"""
+WITH imgs(image_id, phash) AS (VALUES {vals})
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+ORDER BY image_a, image_b
+"""
+        )
+    return _PHASH_SQL_CACHE[0]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -1630,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_rounds_extract": _q_review_rounds,
         "decontaminate_ngram_overlap": _q_decontaminate,
         "image_decode_audit": _q_image_decode_audit,
+        "dedup_phash_images": _q_dedup_phash_images,
     }
 
 
@@ -1677,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "x14_date_sanity": _SQL_X14_SANITY,
         "x22_tojson_roundtrip": _SQL_X22_TOJSON,
         "review_rounds_extract": _SQL_REVIEW_ROUNDS,
+        "dedup_phash_images": _sql_dedup_phash(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
         # hyperplanes). Their oracles are inline VALUES tables produced by an

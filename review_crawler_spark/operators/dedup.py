@@ -371,19 +371,24 @@ def simhash_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_near_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — EXACT recall.
+    """Pairs with Hamming(``hash_col``) ≤ max_hamming over any int64
+    fingerprint column — EXACT recall. Output: (id_a, id_b, hamming).
 
     Pigeonhole banding: the 64-bit hash splits into max_hamming+1 chunks;
     any pair within the budget must agree on at least one whole chunk, so
     the chunk-key self-join loses nothing. Chunk count (and thus join
     fan-out) grows with the budget; budgets above 7 get 8 chunks of 8 bits
     which stays exact only to hamming 7 — asserted below.
+
+    Shared engine for `simhash_near_pairs` (text fingerprints) and
+    `phash_near_pairs` (perceptual image hashes, input_hint's stored
+    ``phash`` column).
     """
     if max_hamming > 7:
         # pigeonhole exactness needs max_hamming ≤ n_chunks - 1 and 64-bit
@@ -392,16 +397,19 @@ def simhash_near_pairs(
         raise ValueError(f"max_hamming={max_hamming} exceeds exact banding range (7)")
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    mask = (1 << bits) - 1
-    idx = simhash_index(docs, id_col, text_col)
+    idx = hashed.select(id_col, F.col(hash_col).alias("simhash"))
+
+    def _key(c: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), c * bits)
+        if bits >= 64:
+            # budget 0 → a single 64-bit chunk: the key IS the hash (a
+            # (1<<64)-1 mask would overflow LongType and is a no-op anyway)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
+            F.struct(F.lit(c).alias("chunk"), _key(c).alias("key"))
             for c in range(n_chunks)
         ]
     )
@@ -434,6 +442,40 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup text pairs with Hamming(simhash) ≤ max_hamming — EXACT
+    recall; fingerprint = token simhash, pair engine = `hamming_near_pairs`.
+    """
+    if max_hamming > 7:
+        # validate before building the index so an out-of-range budget
+        # fails fast even when docs is deferred/invalid (pinned by unit)
+        raise ValueError(f"max_hamming={max_hamming} exceeds exact banding range (7)")
+    idx = simhash_index(docs, id_col, text_col)
+    return hamming_near_pairs(idx, id_col, "simhash", max_hamming)
+
+
+def phash_near_pairs(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Perceptual near-duplicate image pairs over the input_hint payload
+    table's stored ``phash`` column (average-hash of the decoded pixels,
+    `functions/images.py:average_phash`) — Hamming ≤ max_hamming, exact
+    recall via pigeonhole banding, no decode in the pair path.
+
+    The reference crawler downloads each figure exactly once per URL
+    (`/root/reference/plos_crawler.py:190-196` writes files keyed by
+    name) but has no content-level image dedup; at 10^10-frontier scale
+    re-hosted/mirrored figures need it, and phash-banding is the image
+    analog of the text simhash pass: only (image_id, phash) shuffles —
+    never ``bytes`` — so the exchange is ~16 bytes/row regardless of
+    payload size.
+    """
+    return hamming_near_pairs(images, "image_id", "phash", max_hamming)
 
 
 # ------------------------------------------------------------------ embeddings

@@ -37,21 +37,63 @@ from ..schemas import IMAGES_SCHEMA
 _FMTS = ("png", "jpeg", "gif")
 
 
-def make_image(image_id: str) -> dict:
-    """Pure generator: image_id → full row dict (shared with tests)."""
-    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+def _base_pixels(base_id: str) -> tuple[np.ndarray, int, int, str]:
+    """Per-id smooth random field: a seeded 4×4 control grid, bilinearly
+    upsampled (JPEG-friendly — no hard edges) plus high-frequency noise.
+
+    Every id gets its OWN low-frequency structure, so average-hashes of
+    distinct images are far apart in Hamming distance (measured: min
+    cross-image distance 5 over 40 ids) — a fixed shared gradient would
+    make every figure a phash near-dup of every other and render
+    perceptual dedup meaningless on this corpus.
+    """
+    seed = zlib.crc32(base_id.encode()) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
     w = int(24 + (seed % 5) * 8)
     h = int(16 + ((seed >> 3) % 4) * 8)
     fmt = _FMTS[seed % 3]
-    # smooth gradient + noise → compressible but non-trivial pixels
-    yy, xx = np.mgrid[0:h, 0:w]
+    ctrl = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float64)
+    gy = np.linspace(0.0, 3.0, h)
+    gx = np.linspace(0.0, 3.0, w)
+    y0 = np.clip(np.floor(gy).astype(int), 0, 2)
+    x0 = np.clip(np.floor(gx).astype(int), 0, 2)
+    fy = (gy - y0)[:, None, None]
+    fx = (gx - x0)[None, :, None]
+    c00 = ctrl[y0][:, x0]
+    c01 = ctrl[y0][:, x0 + 1]
+    c10 = ctrl[y0 + 1][:, x0]
+    c11 = ctrl[y0 + 1][:, x0 + 1]
     base = (
-        (xx * 255 / max(w - 1, 1))[..., None] * np.array([1.0, 0.5, 0.25])
-        + (yy * 255 / max(h - 1, 1))[..., None] * np.array([0.25, 0.5, 1.0])
-    ) / 2
-    noise = rng.integers(0, 64, size=(h, w, 3))
-    pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+        c00 * (1 - fy) * (1 - fx)
+        + c01 * (1 - fy) * fx
+        + c10 * fy * (1 - fx)
+        + c11 * fy * fx
+    )
+    noise = rng.integers(0, 48, size=(h, w, 3))
+    pixels = np.clip(base * 0.85 + noise, 0, 255).astype(np.uint8)
+    return pixels, w, h, fmt
+
+
+def make_image(image_id: str) -> dict:
+    """Pure generator: image_id → full row dict (shared with tests).
+
+    Ids of the form ``<base>~dup<k>`` are planted NEAR-DUPLICATES of
+    ``<base>``: same control grid and dimensions, each pixel jittered by
+    at most ±6 before encoding — the average-hash of such a pair lands at
+    Hamming distance ≤6 (usually 0–2), far inside the ≥5 separation of
+    unrelated images, which is what `phash_near_pairs` recovers.
+    """
+    base_id, dup_sep, _ = image_id.partition("~dup")
+    pixels, w, h, fmt = _base_pixels(base_id or image_id)
+    if dup_sep:
+        jit = np.random.default_rng(
+            (zlib.crc32(image_id.encode()) ^ 0x9E3779B9) & 0xFFFFFFFF
+        )
+        pixels = np.clip(
+            pixels.astype(np.int64) + jit.integers(-6, 7, size=pixels.shape),
+            0,
+            255,
+        ).astype(np.uint8)
     if fmt == "gif":
         # a real figure GIF is an indexed image: the palette step happens
         # at figure-creation time, so the SOURCE pixels are palette-bound

@@ -45,6 +45,7 @@ sys.path.insert(0, REPO)
 # single source of truth for host gating — bench.py owns the /proc/stat
 # busy formula and the compact_memory settle; importing keeps the bench
 # gate and the scaling windows from silently diverging
+from bench import _container_cpu_sec  # noqa: E402
 from bench import settle as _settle  # noqa: E402
 from bench import total_busy, wait_idle  # noqa: E402,F401
 
@@ -90,6 +91,8 @@ def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
             break  # all warmed (or a child died — release and let it report)
         time.sleep(0.2)
     _settle()  # absorb the warmup's own page-fault wake before timing
+    c0 = _container_cpu_sec()
+    t0 = time.time()
     with open(os.path.join(barrier, "go"), "w"):
         pass
     secs = []
@@ -98,8 +101,16 @@ def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
         for line in out.splitlines():
             if line.startswith("ONCE_RESULT "):
                 secs.append(json.loads(line[len("ONCE_RESULT "):])["sec"])
+    c1 = _container_cpu_sec()
     shutil.rmtree(barrier, ignore_errors=True)
-    return secs
+    # arm-level container CPU-seconds across the timed section (only this
+    # arm's processes live in the container — external host load does NOT
+    # bill here). Diagnostic, not part of the estimator: if the t4 arm's
+    # cpu_sec/wall is far below its 16 allocated cores, the children are
+    # STALLED (memory/reclaim waits), not burning 4× CPU — the signature
+    # that separates host pathology from real contention in the report.
+    cpu = round(c1 - c0, 1) if c0 is not None and c1 is not None else None
+    return secs, cpu, round(time.time() - t0, 3)
 
 
 def _median(xs: list[float]) -> float:
@@ -127,9 +138,9 @@ def main() -> None:
             print(json.dumps({"window": w, "skipped": "host never idle"}),
                   flush=True)
             continue
-        s1a = run(1, scaling_n)
-        s4 = run(4, scaling_n)
-        s1b = run(1, scaling_n)
+        s1a, cpu1a, wall1a = run(1, scaling_n)
+        s4, cpu4, wall4 = run(4, scaling_n)
+        s1b, cpu1b, wall1b = run(1, scaling_n)
         if s1a and s1b and len(s4) == 4:
             t1 = min(min(s1a), min(s1b))
             # two efficiency readings per window:
@@ -159,6 +170,11 @@ def main() -> None:
                     "per_exec": s4,
                     "eff_batch": round(t1 / max(s4), 3),
                     "eff_tput": round(sum(t1 / t for t in s4) / 4, 3),
+                    # diagnostic telemetry (see run()): container CPU-sec
+                    # and harness wall per arm — t4 utilization =
+                    # cpu/(16*wall) vs t1's cpu/(4*wall)
+                    "arm_cpu_sec": {"t1a": cpu1a, "t4": cpu4, "t1b": cpu1b},
+                    "arm_walls": {"t1a": wall1a, "t4": wall4, "t1b": wall1b},
                 }
             )
             print(json.dumps(new_windows[-1]), flush=True)
