@@ -1620,21 +1620,74 @@ def _q_dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_SQL_CACHE: list[str] = []
+def _q_dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-duplicate-group over images: phash banded pairs →
+    connected components (min-label propagation,
+    `operators/components.py:connected_components`) → every figure labeled
+    with its cluster, its cluster's size, and whether it is the canonical
+    survivor (the min image_id). This is the query an ingest pipeline runs
+    to drop re-hosted/mirrored figures before training: filter
+    ``is_canonical`` and 1/cluster survives.
+
+    Scale shape: the component engine shuffles only the PAIR list (edges
+    from shared Hamming-band buckets, never the corpus), singletons join
+    back via one broadcast (components ≤ pairs ≪ corpus), and cluster_size
+    is a count over the same broadcast — the figure ``bytes`` column is
+    never read. Oracle: independent pure-Python union-find over an
+    independent brute-force O(n²) pair scan of the same generator phashes.
+    """
+    from review_crawler_spark.operators.components import connected_components
+    from review_crawler_spark.operators.dedup import phash_near_pairs
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids()).select("image_id", "phash")
+    pairs = phash_near_pairs(imgs, max_hamming=4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # components table is bounded by the pair list — broadcast both hops
+    sizes = comp.groupBy(F.col("component").alias("comp")).agg(
+        F.count("*").alias("sz")
+    )
+    labeled = (
+        imgs.join(F.broadcast(comp), imgs.image_id == comp.id, "left")
+        .select(
+            "image_id",
+            F.coalesce("component", "image_id").alias("cluster_id"),
+        )
+        .join(
+            F.broadcast(sizes),
+            F.col("cluster_id") == F.col("comp"),
+            "left",
+        )
+        .select(
+            "image_id",
+            "cluster_id",
+            F.coalesce("sz", F.lit(1)).cast("int").alias("cluster_size"),
+            (F.col("image_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+    return labeled.orderBy("image_id")
+
+
+_PHASH_VALUES_CACHE: dict[str, int] = {}
+
+
+def _phash_values() -> dict[str, int]:
+    """image_id → stored phash for the fixed corpus, via the same pure
+    generator the Spark table uses (computed once per process — the
+    codec round-trip for 200 figures costs ~1 s)."""
+    if not _PHASH_VALUES_CACHE:
+        from review_crawler_spark.sources.images_table import make_image
+
+        for i in _phash_corpus_ids():
+            _PHASH_VALUES_CACHE[i] = make_image(i)["phash"]
+    return _PHASH_VALUES_CACHE
 
 
 def _sql_dedup_phash() -> str:
     """DuckDB oracle: brute-force all-pairs Hamming over the same phash
-    values (inline VALUES; computed once per process — the pure-Python
-    codec round-trip for 200 figures costs ~1 s)."""
-    if not _PHASH_SQL_CACHE:
-        from review_crawler_spark.sources.images_table import make_image
-
-        vals = ",\n".join(
-            f"('{i}', {make_image(i)['phash']})" for i in _phash_corpus_ids()
-        )
-        _PHASH_SQL_CACHE.append(
-            f"""
+    values (inline VALUES) — independent pair logic vs Spark's banding."""
+    vals = ",\n".join(f"('{i}', {p})" for i, p in _phash_values().items())
+    return f"""
 WITH imgs(image_id, phash) AS (VALUES {vals})
 SELECT a.image_id AS image_a, b.image_id AS image_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
@@ -1642,8 +1695,49 @@ FROM imgs a JOIN imgs b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 4
 ORDER BY image_a, image_b
 """
-        )
-    return _PHASH_SQL_CACHE[0]
+
+
+def _sql_dedup_phash_clusters() -> str:
+    """Oracle for `dedup_phash_clusters`: union-find in pure Python over
+    a brute-force pair scan (both independent of the Spark path's banding
+    + label propagation), emitted as inline VALUES."""
+    ph = _phash_values()
+    ids = list(ph.keys())
+    parent = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            # phashes are signed int64; mask to 64 bits so a mixed-sign
+            # XOR doesn't count Python's infinite two's-complement tail
+            if bin((ph[a] ^ ph[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 4:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    roots: dict[str, list[str]] = {}
+    for i in ids:
+        roots.setdefault(find(i), []).append(i)
+    rows = []
+    for members in roots.values():
+        canon = min(members)
+        for m in members:
+            rows.append(
+                f"('{m}', '{canon}', {len(members)}, "
+                f"{'TRUE' if m == canon else 'FALSE'})"
+            )
+    return (
+        "SELECT image_id, cluster_id, CAST(cluster_size AS INTEGER) AS "
+        "cluster_size, is_canonical FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, cluster_id, cluster_size, is_canonical) "
+        "ORDER BY image_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1702,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": _q_decontaminate,
         "image_decode_audit": _q_image_decode_audit,
         "dedup_phash_images": _q_dedup_phash_images,
+        "dedup_phash_clusters": _q_dedup_phash_clusters,
     }
 
 
@@ -1750,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "x22_tojson_roundtrip": _SQL_X22_TOJSON,
         "review_rounds_extract": _SQL_REVIEW_ROUNDS,
         "dedup_phash_images": _sql_dedup_phash(),
+        "dedup_phash_clusters": _sql_dedup_phash_clusters(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
         # hyperplanes). Their oracles are inline VALUES tables produced by an

@@ -81,3 +81,66 @@ def test_generic_hamming_budget_monotone(spark, budget):
     n = D.hamming_near_pairs(imgs, "image_id", "phash", budget).count()
     n_full = D.hamming_near_pairs(imgs, "image_id", "phash", 7).count()
     assert n <= n_full
+
+
+def test_phash_clusters_match_union_find(spark):
+    """Spark (banding pairs → label propagation) vs pure-Python
+    (brute-force pairs → union-find): identical clustering, sizes, and
+    canonical picks — including singletons."""
+    from review_crawler_spark.operators.components import connected_components
+    from review_crawler_spark.operators.dedup import phash_near_pairs
+
+    ids = _ids(16, 8) + [f"{b}~dup2" for b in _ids(4, 0)]
+    hs = {i: make_image(i)["phash"] for i in ids}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        if _hamming(hs[a], hs[b]) <= 4:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    want = {}
+    for members in groups.values():
+        canon = min(members)
+        for m in members:
+            want[m] = (canon, len(members), m == canon)
+    assert any(sz > 1 for _, sz, _ in want.values())  # dups really cluster
+
+    from pyspark.sql import functions as F
+
+    imgs = images_df(spark, ids).select("image_id", "phash")
+    comp = connected_components(
+        phash_near_pairs(imgs, max_hamming=4), src="id_a", dst="id_b"
+    )
+    sizes = comp.groupBy(F.col("component").alias("comp")).agg(
+        F.count("*").alias("sz")
+    )
+    got = {
+        r["image_id"]: (r["cluster_id"], r["cluster_size"], r["is_canon"])
+        for r in (
+            imgs.join(comp, imgs.image_id == comp.id, "left")
+            .select(
+                "image_id",
+                F.coalesce("component", "image_id").alias("cluster_id"),
+            )
+            .join(sizes, F.col("cluster_id") == F.col("comp"), "left")
+            .select(
+                "image_id",
+                "cluster_id",
+                F.coalesce("sz", F.lit(1)).cast("int").alias("cluster_size"),
+                (F.col("image_id") == F.col("cluster_id")).alias("is_canon"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
