@@ -1740,6 +1740,152 @@ def _sql_dedup_phash_clusters() -> str:
     )
 
 
+def _q_image_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-walk metadata scan over the figure payload corpus: format,
+    dimensions, and the embedded ancillary comment (PNG tEXt / JPEG COM /
+    GIF comment extension), extracted WITHOUT decoding any pixel data
+    (`functions/imgmeta.py`) — the ~1%-of-a-decode audit pass a 100 TB
+    multimodal table needs. One mapInPandas, no shuffle until the sort."""
+    from review_crawler_spark.functions.imgmeta import sniff_images
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids())
+    return (
+        sniff_images(imgs)
+        .select("image_id", "fmt", "w", "h", "comment")
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_meta_sniff() -> str:
+    """Oracle: the generator's PRE-ENCODE intent (format/dims from the
+    seeded `_base_pixels`, comment from the id) as inline VALUES — fully
+    independent of both the encoders and the header-walk parser, so the
+    query verifies the real bitstreams round-trip their metadata."""
+    from review_crawler_spark.sources.images_table import _base_pixels
+
+    rows = []
+    for i in _phash_corpus_ids():
+        base_id, _, _ = i.partition("~dup")
+        _px, w, h, fmt = _base_pixels(base_id or i)
+        rows.append(f"('{i}', '{fmt}', {w}, {h}, 'figure {i}')")
+    return (
+        "SELECT image_id, fmt, CAST(w AS INTEGER) AS w, "
+        "CAST(h AS INTEGER) AS h, comment FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, fmt, w, h, comment) ORDER BY image_id"
+    )
+
+
+def _video_corpus_ids() -> list[str]:
+    """Deterministic video-payload corpus (animated GIF clips)."""
+    return [f"www.mdpi.com/article/{n}/video1" for n in range(40)]
+
+
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over real animated-GIF payloads: decode every video
+    (`functions/gif.py` multi-frame walker), keep frames 0, 2, 4, …, emit
+    exact per-frame features (dims, integer pixel sum, average-phash) —
+    the video-modality pre-processing op (`functions/video.py`). One
+    mapInPandas pass; rows never shuffle until the output sort."""
+    from review_crawler_spark.functions.video import sample_frames
+    from review_crawler_spark.sources.videos_table import videos_df
+
+    vids = videos_df(spark, _video_corpus_ids())
+    return (
+        sample_frames(vids, every_k=2)
+        .select("video_id", "frame_idx", "w", "h", "px_sum", "phash")
+        .orderBy("video_id", "frame_idx")
+    )
+
+
+def _sql_video_frame_sample() -> str:
+    """Oracle: expected per-frame stats from the pure frame generator
+    (`videos_table.video_frames`) — never touches the GIF codec (the
+    quantize-then-encode round trip is lossless by construction, so the
+    generator IS the decoded ground truth). Verifies the animation
+    encoder, the multi-frame decoder, and the sampling op end-to-end."""
+    from review_crawler_spark.functions.images import average_phash
+    from review_crawler_spark.sources.videos_table import video_frames
+
+    rows = []
+    for vid in _video_corpus_ids():
+        frames = video_frames(vid)
+        for idx in range(0, len(frames), 2):
+            fr = frames[idx]
+            rows.append(
+                f"('{vid}', {idx}, {fr.shape[1]}, {fr.shape[0]}, "
+                f"{int(fr.sum(dtype='int64'))}, {average_phash(fr)})"
+            )
+    return (
+        "SELECT video_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, "
+        "CAST(px_sum AS BIGINT) AS px_sum, CAST(phash AS BIGINT) AS phash "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(video_id, frame_idx, "
+        "w, h, px_sum, phash) ORDER BY video_id, frame_idx"
+    )
+
+
+def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters over the documents table
+    (`functions/text.py:repetition_stats`): per-doc token totals, top
+    unigram/bigram occurrence counts, duplicated-trigram positions — the
+    boilerplate/spam filters a training-data pipeline thresholds on.
+    Exact integers only (no float hashing). Shuffles carry (doc_id, gram,
+    count) rows, never document text."""
+    docs = load(spark, sf_dir, "documents")
+    return X.repetition_stats(docs).orderBy("doc_id")
+
+
+_SQL_QUALITY_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+uni AS (
+  SELECT doc_id, unnest(toks) AS g FROM t
+),
+ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+uagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_unigram
+  FROM ucnt GROUP BY 1
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM bcnt GROUP BY 1
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                    || toks[i + 2])) AS g
+  FROM t
+),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tagg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_trigram_pos,
+         CAST(sum(c) AS BIGINT) AS n_trigrams
+  FROM tcnt GROUP BY 1
+)
+SELECT u.doc_id, u.n_tokens, u.top_unigram,
+       COALESCE(b.top_bigram, 0) AS top_bigram,
+       COALESCE(g.dup_trigram_pos, 0) AS dup_trigram_pos,
+       COALESCE(g.n_trigrams, 0) AS n_trigrams
+FROM uagg u
+LEFT JOIN bagg b USING (doc_id)
+LEFT JOIN tagg g USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -1797,6 +1943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_audit": _q_image_decode_audit,
         "dedup_phash_images": _q_dedup_phash_images,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
+        "image_meta_sniff": _q_image_meta_sniff,
+        "video_frame_sample": _q_video_frame_sample,
+        "quality_repetition": _q_quality_repetition,
     }
 
 
@@ -1846,6 +1995,9 @@ def oracle_sql() -> dict[str, str]:
         "review_rounds_extract": _SQL_REVIEW_ROUNDS,
         "dedup_phash_images": _sql_dedup_phash(),
         "dedup_phash_clusters": _sql_dedup_phash_clusters(),
+        "image_meta_sniff": _sql_image_meta_sniff(),
+        "video_frame_sample": _sql_video_frame_sample(),
+        "quality_repetition": _SQL_QUALITY_REPETITION,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
         # hyperplanes). Their oracles are inline VALUES tables produced by an

@@ -5,12 +5,19 @@ the W3C/IETF documentation): header + logical screen descriptor, global
 color table, image descriptor, LZW-compressed indexed pixel data with
 variable code width (3..12 bits), sub-block framing, trailer.
 
-Scope — what the image+caption payload path needs and nothing more:
+Scope — what the image/video payload paths need and nothing more:
 - encode: (h, w) uint8 palette-index array + (n, 3) uint8 palette →
-  non-interlaced GIF87a with a global color table;
-- decode: single-image, non-interlaced GIF87a/89a; 89a extension blocks
-  (graphic control etc.) are skipped; local color tables supported;
-  interlaced images rejected with a clear ValueError.
+  non-interlaced GIF87a with a global color table (GIF89a when an
+  embedded comment is requested — 87a has no extension blocks);
+- encode_gif_animation: (n, h, w) frame stack → GIF89a animation with
+  per-frame graphic-control extensions and a NETSCAPE2.0 loop block —
+  the sandbox's real multi-frame "video" container (frame-sampling ops
+  decode it frame-by-frame);
+- decode: non-interlaced GIF87a/89a, single- or multi-frame; frames with
+  sub-rectangle descriptors composite onto the logical screen (disposal
+  "do not dispose"); comment/graphic-control extensions are parsed or
+  skipped; local color tables supported; interlaced images rejected with
+  a clear ValueError.
 
 GIF is an indexed format: fidelity is decided by palette quantization
 BEFORE encode (sources/images_table.py quantizes gif-format pixels to a
@@ -31,32 +38,100 @@ GIF_SIGS = (b"GIF87a", b"GIF89a")
 # ----------------------------------------------------------------- encoder
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """(h, w) uint8 indices + (n, 3) uint8 palette → GIF87a bytes."""
-    if indices.dtype != np.uint8 or indices.ndim != 2:
-        raise ValueError("encode_gif needs an (h, w) uint8 index array")
-    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
-        raise ValueError("palette must be (n<=256, 3)")
-    if indices.max(initial=0) >= len(palette):
-        raise ValueError("index out of palette range")
-    h, w = indices.shape
+def _screen_and_table(
+    w: int, h: int, palette: np.ndarray, sig: bytes
+) -> tuple[bytearray, int]:
+    """Header + logical screen descriptor + global color table."""
     # global color table size: power of two >= palette size, min 2
     bits = max((len(palette) - 1).bit_length(), 1)
     table = np.zeros((1 << bits, 3), dtype=np.uint8)
     table[: len(palette)] = palette
-
-    out = bytearray(b"GIF87a")
-    # logical screen descriptor: global table flag, color resolution, size
+    out = bytearray(sig)
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
                        0, 0)
     out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    return out, max(bits, 2)
 
-    min_code = max(bits, 2)
+
+def _comment_ext(comment: str) -> bytes:
+    """GIF89a comment extension (0x21 0xFE): length-prefixed sub-blocks."""
+    data = comment.encode("utf-8")
+    out = bytearray(b"\x21\xfe")
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _frame_blocks(indices: np.ndarray, min_code: int) -> bytes:
+    """Image descriptor + LZW data for one full-screen frame at (0, 0)."""
+    h, w = indices.shape
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
     out.append(min_code)
     out += _lzw_encode(indices.flatten().tolist(), min_code)
     out.append(0)  # block terminator
+    return bytes(out)
+
+
+def _check_indices(indices: np.ndarray, palette: np.ndarray, ndim: int) -> None:
+    if indices.dtype != np.uint8 or indices.ndim != ndim:
+        shape = "(h, w)" if ndim == 2 else "(n, h, w)"
+        raise ValueError(f"need a {shape} uint8 index array")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, comment: str | None = None
+) -> bytes:
+    """(h, w) uint8 indices + (n, 3) uint8 palette → GIF bytes.
+
+    ``comment`` embeds a comment extension (and switches the signature to
+    GIF89a — 87a predates extension blocks)."""
+    _check_indices(indices, palette, 2)
+    h, w = indices.shape
+    sig = b"GIF89a" if comment is not None else b"GIF87a"
+    out, min_code = _screen_and_table(w, h, palette, sig)
+    if comment is not None:
+        out += _comment_ext(comment)
+    out += _frame_blocks(indices, min_code)
     out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: np.ndarray,
+    palette: np.ndarray,
+    delay_cs: int = 4,
+    comment: str | None = None,
+) -> bytes:
+    """(n, h, w) uint8 index frames → looping GIF89a animation.
+
+    Every frame is written full-screen at (0, 0) with a graphic-control
+    extension (disposal "do not dispose", ``delay_cs`` centiseconds) and
+    its own LZW stream; a NETSCAPE2.0 block requests infinite looping.
+    This is the multi-frame "video" container for the frame-sampling
+    operators — real bitstreams any GIF viewer plays."""
+    _check_indices(frames, palette, 3)
+    n, h, w = frames.shape
+    if n == 0:
+        raise ValueError("animation needs at least one frame")
+    out, min_code = _screen_and_table(w, h, palette, b"GIF89a")
+    if comment is not None:
+        out += _comment_ext(comment)
+    # application extension: NETSCAPE2.0 loop count 0 = forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame in frames:
+        # graphic control: block size 4, disposal=1 (do not dispose),
+        # no transparency, delay, transparent index 0, terminator
+        out += b"\x21\xf9" + struct.pack("<BBHB", 4, 1 << 2, delay_cs, 0)
+        out += b"\x00"
+        out += _frame_blocks(frame, min_code)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -121,15 +196,41 @@ def _lzw_encode(seq: list[int], min_code: int) -> bytes:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes → (h, w, 3) uint8 RGB (first image). Raises ValueError."""
+    """GIF bytes → (h, w, 3) uint8 RGB (first frame). Raises ValueError."""
     try:
-        return _decode_gif(data)
+        return _walk_gif(data, max_frames=1)[0]
     except (IndexError, struct.error) as exc:
         # truncated headers / sub-blocks surface as the contract ValueError
         raise ValueError(f"malformed GIF: {exc}") from None
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
+def decode_gif_frames(data: bytes) -> np.ndarray:
+    """GIF bytes → (n, h, w, 3) uint8 RGB — every frame, composited onto
+    the logical screen in stream order (the video-decode path for the
+    frame-sampling operators). Raises ValueError on malformed input."""
+    try:
+        return np.stack(_walk_gif(data))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF: {exc}") from None
+
+
+def gif_comment(data: bytes) -> str | None:
+    """Extract the first comment extension WITHOUT decoding pixel data —
+    a header walk that skips LZW payload sub-blocks by length only."""
+    try:
+        return _walk_gif(data, max_frames=0, want_comment=True)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF: {exc}") from None
+
+
+def _walk_gif(
+    data: bytes, max_frames: int | None = None, want_comment: bool = False
+):
+    """Single block-walker behind the public decoders.
+
+    ``max_frames=k`` stops after compositing k frames; ``max_frames=0``
+    with ``want_comment`` walks extensions only (no LZW decode at all —
+    frame data sub-blocks are skipped by their length prefixes)."""
     if data[:6] not in GIF_SIGS:
         raise ValueError("not a GIF (bad signature)")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -139,18 +240,29 @@ def _decode_gif(data: bytes) -> np.ndarray:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    frames: list[np.ndarray] = []
+    canvas: np.ndarray | None = None
+    comment: str | None = None
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # 89a extension: label + sub-blocks, skip
+        if block == 0x21:  # 89a extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            parts = bytearray()
             while data[pos]:
-                pos += 1 + data[pos]
+                ln = data[pos]
+                parts += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
             pos += 1
+            if label == 0xFE and comment is None:  # comment extension
+                comment = parts.decode("utf-8", errors="replace")
+                if want_comment and max_frames == 0:
+                    return comment
         elif block == 0x2C:  # image descriptor
-            _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            x, y, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
             pos += 9
             if iflags & 0x40:
                 raise ValueError("interlaced GIF unsupported")
@@ -166,16 +278,34 @@ def _decode_gif(data: bytes) -> np.ndarray:
             raw = bytearray()
             while data[pos]:
                 ln = data[pos]
+                if max_frames == 0:
+                    pos += 1 + ln  # comment walk: skip payload bytes
+                    continue
                 raw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
+            if max_frames == 0:
+                continue
             indices = _lzw_decode(bytes(raw), min_code, w * h)
             if indices.max(initial=0) >= len(table):
                 raise ValueError("palette index out of range")
-            return table[indices.reshape(h, w)]
+            if x + w > sw or y + h > sh:
+                raise ValueError("frame exceeds logical screen")
+            # disposal "do not dispose": each frame paints over the
+            # previous canvas; a full-screen frame replaces it entirely
+            if canvas is None:
+                canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            canvas[y : y + h, x : x + w] = table[indices.reshape(h, w)]
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("no image data in GIF")
+    if want_comment and max_frames == 0:
+        return comment
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int, expect: int) -> np.ndarray:

@@ -237,12 +237,17 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 95,
+    restart_interval: int = 0,
+    comment: str | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (T.81 resync points, used by streaming encoders)."""
+    that many MCUs (T.81 resync points, used by streaming encoders).
+    ``comment`` embeds a COM (0xFFFE) segment after APP0 — T.81's
+    ancillary text marker; decoders skip it."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg needs an (h, w, 3) uint8 array")
     h, w, _ = pixels.shape
@@ -321,6 +326,8 @@ def encode_jpeg(
     out += _seg(
         0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     )
+    if comment is not None:
+        out += _seg(0xFFFE, comment.encode("utf-8"))
     out += _seg(0xFFDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
     out += _seg(0xFFDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)

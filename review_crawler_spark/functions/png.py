@@ -45,12 +45,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8)."""
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    text: dict[str, str] | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8).
+
+    ``text`` embeds tEXt chunks (keyword → Latin-1 value, the PNG spec's
+    ancillary metadata) between IHDR and IDAT; decoders that don't know
+    them skip them (ancillary bit set — lowercase first letter)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_png needs an (h, w, 3) uint8 array")
     if filter_type not in range(5):
         raise ValueError(f"bad filter type {filter_type}")
+    for k in text or {}:
+        if not (1 <= len(k) <= 79):
+            raise ValueError(f"tEXt keyword length out of range: {k!r}")
     h, w, _ = pixels.shape
     bpp = 3
     px = pixels.reshape(h, w * bpp).astype(np.int32)
@@ -77,9 +88,14 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             out = row - pred
         lines.append(bytes([filter_type]) + (out % 256).astype(np.uint8).tobytes())
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    texts = b"".join(
+        _chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in (text or {}).items()
+    )
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + texts
         + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _chunk(b"IEND", b"")
     )

@@ -157,3 +157,72 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.transform(
         starts, lambda i: F.array_join(F.slice(words, i, k), " ")
     )
+
+
+def repetition_stats(docs, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Gopher-style repetition quality counters per document.
+
+    The filters Rae et al. (Gopher, arXiv 2112.11446 §A1.1) and
+    RefinedWeb apply before training: documents dominated by a repeated
+    token, a repeated n-gram, or duplicated spans are boilerplate/spam
+    and get dropped. Emitted as EXACT integer counters (numerators +
+    denominators, not floats) so thresholds stay a consumer choice and
+    oracles hash bit-exactly:
+
+      n_tokens          total whitespace tokens
+      top_unigram       occurrences of the most frequent token
+      top_bigram        occurrences of the most frequent word 2-gram
+      dup_trigram_pos   trigram positions whose trigram occurs >1 time
+      n_trigrams        total trigram positions
+
+    Scale shape: one explode per gram order, partial-aggregated groupBy
+    on (doc_id, gram) — shuffles carry (id, gram, count) rows only, never
+    the document text; the three gram orders then join back on doc_id
+    (the grouped frames are doc-count-sized). No Python in the hot path —
+    split/slice/concat_ws are all JVM expressions.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+
+    def grams(k: int):
+        # contiguous k-grams via sequence+slice (array ops, JVM-side);
+        # guard short docs — Spark's sequence(1, 0) DESCENDS, not empties
+        n = F.size("_toks")
+        starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.expr("array()")
+        )
+        g = F.transform(
+            starts, lambda i: F.array_join(F.slice("_toks", i, k), " ")
+        )
+        return (
+            toks.select(F.col(id_col), F.explode(g).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+        )
+
+    uni = grams(1).groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"), F.max("_c").alias("top_unigram")
+    )
+    big = grams(2).groupBy(id_col).agg(F.max("_c").alias("top_bigram"))
+    tri = grams(3).groupBy(id_col).agg(
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+            "dup_trigram_pos"
+        ),
+        F.sum("_c").alias("n_trigrams"),
+    )
+    return (
+        uni.join(big, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long"),
+            F.col("top_unigram").cast("long"),
+            F.coalesce("top_bigram", F.lit(0)).cast("long").alias("top_bigram"),
+            F.coalesce("dup_trigram_pos", F.lit(0)).cast("long").alias(
+                "dup_trigram_pos"
+            ),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        )
+    )

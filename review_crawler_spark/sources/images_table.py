@@ -99,7 +99,10 @@ def make_image(image_id: str) -> dict:
         # at figure-creation time, so the SOURCE pixels are palette-bound
         # and the GIF bitstream round-trips them losslessly
         pixels = gif_prequantize(pixels)
-    data = encode_image(pixels, fmt)
+    # embedded ancillary text (PNG tEXt / JPEG COM / GIF comment) — real
+    # figure exports carry credit/tool strings; the header-walk metadata
+    # scan (functions/imgmeta.py) recovers it without decoding pixels
+    data = encode_image(pixels, fmt, comment=f"figure {image_id}")
     decoded, _ = decode_image(data)
     return {
         "image_id": image_id,
