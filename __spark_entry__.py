@@ -1826,6 +1826,128 @@ def _sql_video_frame_sample() -> str:
     )
 
 
+def _q_image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail normalization over the figure corpus: decode → 12×12
+    nearest-neighbor resample → exact per-thumbnail features
+    (`functions/resize.py`). Restricted to the LOSSLESS formats (png/gif)
+    so the oracle can derive expectations from generator pixels without
+    replaying the codec; jpeg rows go through the same op in units where
+    the PSNR gate (not bit-equality) is the contract. One mapInPandas,
+    zero shuffle before the sort."""
+    from review_crawler_spark.functions.resize import resize_images
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids()).filter(F.col("fmt") != "jpeg")
+    return (
+        resize_images(imgs, 12, 12, method="nearest")
+        .select("image_id", "px_sum", "phash")
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_resize_thumbs() -> str:
+    """Oracle: scalar-loop nearest resize (independently implemented from
+    the same public index convention) over the generator's pre-encode
+    pixels — the lossless-codec round trip makes those the decoded ground
+    truth, so this checks decode + the vectorized gather end-to-end."""
+    from review_crawler_spark.functions.images import average_phash
+    from review_crawler_spark.sources.images_table import make_image
+
+    rows = []
+    for i in _phash_corpus_ids():
+        r = make_image(i)
+        if r["fmt"] == "jpeg":
+            continue
+        px = r["_pixels"]
+        sh, sw = px.shape[:2]
+        import numpy as np
+
+        thumb = np.zeros((12, 12, 3), dtype=np.uint8)
+        for y in range(12):
+            for x in range(12):
+                thumb[y, x] = px[(y * sh) // 12, (x * sw) // 12]
+        rows.append(
+            f"('{i}', {int(thumb.sum(dtype='int64'))}, "
+            f"{average_phash(thumb)})"
+        )
+    return (
+        "SELECT image_id, CAST(px_sum AS BIGINT) AS px_sum, "
+        "CAST(phash AS BIGINT) AS phash FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, px_sum, phash) ORDER BY image_id"
+    )
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_SALT = "split1"
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified Bernoulli sample of the documents corpus
+    (`operators/sampling.py`): per-language keep rates keyed off
+    md5(doc_id || salt), so membership is a pure row function — re-runs,
+    retries, and repartitions select the SAME corpus (df.sample() does
+    not survive a partitioning change). Pure narrow filter: no shuffle."""
+    from review_crawler_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "lang", _SAMPLE_RATES, "doc_id",
+            default_rate=_SAMPLE_DEFAULT, salt=_SAMPLE_SALT,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_sample_stratified() -> str:
+    """DuckDB twin: the identical md5-prefix string comparison (md5 is
+    md5 — both engines hash the same UTF-8 bytes to the same lowercase
+    hex), thresholds computed inline from the rates."""
+    def hx(rate: float) -> str:
+        return format(int(rate * 16 ** 15), "x").zfill(15)
+
+    whens = " ".join(
+        f"WHEN '{v}' THEN '{hx(r)}'" for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(doc_id || '{_SAMPLE_SALT}'), 1, 15) <
+      CASE lang {whens} ELSE '{hx(_SAMPLE_DEFAULT)}' END
+ORDER BY doc_id
+"""
+
+
+def _q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=7 documents per language, chosen by hash rank — the
+    deterministic per-stratum quota draw (eval-set construction, per-
+    domain caps). One shuffle on the stratum key; rank order is
+    (md5 prefix, doc_id) so even hash-prefix ties are deterministic."""
+    from review_crawler_spark.operators.sampling import sample_exact_k
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sample_exact_k(docs, "lang", 7, "doc_id", salt=_SAMPLE_SALT)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SAMPLE_EXACT_K = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(doc_id || '{_SAMPLE_SALT}'), 1, 15), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 7
+ORDER BY doc_id
+"""
+
+
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters over the documents table
     (`functions/text.py:repetition_stats`): per-doc token totals, top
@@ -1944,6 +2066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_images": _q_dedup_phash_images,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
         "image_meta_sniff": _q_image_meta_sniff,
+        "image_resize_thumbs": _q_image_resize_thumbs,
+        "sample_stratified": _q_sample_stratified,
+        "sample_exact_k": _q_sample_exact_k,
         "video_frame_sample": _q_video_frame_sample,
         "quality_repetition": _q_quality_repetition,
     }
@@ -1996,6 +2121,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_phash_images": _sql_dedup_phash(),
         "dedup_phash_clusters": _sql_dedup_phash_clusters(),
         "image_meta_sniff": _sql_image_meta_sniff(),
+        "image_resize_thumbs": _sql_image_resize_thumbs(),
+        "sample_stratified": _sql_sample_stratified(),
+        "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "video_frame_sample": _sql_video_frame_sample(),
         "quality_repetition": _SQL_QUALITY_REPETITION,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes

@@ -200,6 +200,28 @@ def bench_image_decode(spark, n: int = 20_000) -> float:
     return time.time() - t0
 
 
+def bench_video_frames(spark, n: int = 3_000) -> float:
+    """Frame sampling over n animated-GIF clips (4-8 frames each → ~18k
+    frames decoded, ~9k sampled) — the video-modality analog of
+    image_decode_20k. Generation is written out first so the timed
+    section measures decode+sample, not the generator."""
+    from review_crawler_spark.functions.video import sample_frames
+    from review_crawler_spark.sources.videos_table import videos_df
+
+    ids = [f"bench.host/article/{i}/video1" for i in range(n)]
+    table = videos_df(spark, ids)
+    table.write.mode("overwrite").parquet("/tmp/bench_videos")
+    stored = spark.read.parquet("/tmp/bench_videos")
+    best = float("inf")
+    for _ in range(2):  # best-of-2 like bench_query; input generated once
+        t0 = time.time()
+        sample_frames(stored, every_k=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def total_busy(dt: float = 2.0) -> float:
     """Host-wide busy cores over a short sample (/proc/stat, USER_HZ=100).
     THE canonical copy — the scaling harness imports these three helpers,
@@ -265,6 +287,7 @@ def run_bench(cpus: int) -> dict:
             bench_query(spark, "pipeline_dedup_canonical_schedule"), 3
         ),
         "image_decode_20k": round(bench_image_decode(spark), 3),
+        "video_frames_3k": round(bench_video_frames(spark), 3),
     }
     # best-of-2 like bench_query: single runs intermittently absorb the
     # host's page-fault storms (BENCH_SCALING.md diagnosis)
