@@ -2008,6 +2008,171 @@ ORDER BY doc_id
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (`functions/pii.py`): the documents text
+    is deterministically augmented with one synthetic email / IPv4 / phone
+    per row (pure arithmetic on doc_id, built identically by the SQL twin),
+    then scrubbed. Counts scan the original text; redaction chains in
+    REDACT_ORDER. Pure narrow projection — JVM regex, zero shuffle."""
+    from review_crawler_spark.functions.pii import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org via 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(aug)
+        .select(
+            "doc_id",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            "redacted",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    """DuckDB twin: RE2 and Java regex agree on the shared pattern subset
+    (classes, bounded repeats, \\b); redaction order mirrored from
+    REDACT_ORDER so the chained regexp_replace is byte-identical."""
+    from review_crawler_spark.functions.pii import REDACT_ORDER
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org via 10.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in REDACT_ORDER
+    )
+    red = "text"
+    for _, pat, token in REDACT_ORDER:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+SELECT doc_id, {counts}, {red} AS redacted
+FROM aug ORDER BY doc_id
+"""
+
+
+_LINE_DEDUP_MAX = 50
+
+
+def _line_corpus(docs: DataFrame) -> DataFrame:
+    """Synthetic multi-line corpus over doc_id (built identically in SQL):
+    a universal cookie-banner line, a ~71×-repeated footer, a unique body
+    line, and a sparse promo line on every third doc — so the threshold
+    genuinely splits keep/drop and order preservation is visible."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(char(10), 'cookie banner', "
+            "concat('footer ', CAST(doc_id % 7 AS STRING)), "
+            "concat('body ', CAST(doc_id AS STRING)), "
+            "IF(doc_id % 3 = 0, "
+            "concat('promo ', CAST(doc_id % 11 AS STRING)), NULL))"
+        ).alias("text"),
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus line dedup (`operators/linededup.py`):
+    drop every line occurring more than 50× corpus-wide, reassemble docs
+    from surviving lines in original order. Count shuffle carries 64-bit
+    line hashes only; the decision join keys on the hash."""
+    from review_crawler_spark.operators.linededup import line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    out = line_dedup(_line_corpus(docs), max_occurrences=_LINE_DEDUP_MAX)
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "n_kept",
+            "clean_text",
+        ).orderBy("doc_id")
+    )
+
+
+def _sql_line_dedup() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, concat_ws(chr(10), 'cookie banner',
+    'footer ' || CAST(doc_id % 7 AS VARCHAR),
+    'body ' || CAST(doc_id AS VARCHAR),
+    CASE WHEN doc_id % 3 = 0
+         THEN 'promo ' || CAST(doc_id % 11 AS VARCHAR) END) AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+ln AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+                             i -> {{'pos': i, 'line': l[i]}})) AS s FROM t),
+l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln),
+cnt AS (SELECT line, count(*) AS n FROM l2 GROUP BY 1),
+keep AS (SELECT doc_id, pos, line FROM l2 JOIN cnt USING (line)
+         WHERE n <= {_LINE_DEDUP_MAX}),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM keep GROUP BY 1),
+tot AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines FROM t)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_PACK_CAPACITY = 64
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (`operators/packing.py`): the
+    chunk manifest for 64-token training windows over the documents
+    corpus in doc_id order. The global exclusive prefix sum runs as a
+    two-pass distributed scan (per-partition totals -> P-row collect ->
+    zero-shuffle mapInPandas cumsum), never a single-task global window."""
+    from review_crawler_spark.operators.packing import pack_chunks
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_chunks(docs, _PACK_CAPACITY).orderBy("chunk_id", "doc_id")
+
+
+_SQL_PACK_CHUNKS = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             COALESCE(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cb
+      FROM d WHERE n > 0),
+x AS (SELECT doc_id, n, cb,
+             unnest(range(cb // {_PACK_CAPACITY},
+                          (cb + n - 1) // {_PACK_CAPACITY} + 1)) AS chunk_id
+      FROM c)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(0, chunk_id * {_PACK_CAPACITY} - cb) AS BIGINT)
+         AS tok_start,
+       CAST(least(n, (chunk_id + 1) * {_PACK_CAPACITY} - cb) AS BIGINT)
+         AS tok_end
+FROM x ORDER BY chunk_id, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -2071,6 +2236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": _q_sample_exact_k,
         "video_frame_sample": _q_video_frame_sample,
         "quality_repetition": _q_quality_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
+        "pack_chunks": _q_pack_chunks,
     }
 
 
@@ -2126,6 +2294,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "video_frame_sample": _sql_video_frame_sample(),
         "quality_repetition": _SQL_QUALITY_REPETITION,
+        "pii_scrub": _sql_pii_scrub(),
+        "line_dedup": _sql_line_dedup(),
+        "pack_chunks": _SQL_PACK_CHUNKS,
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
         # hyperplanes). Their oracles are inline VALUES tables produced by an

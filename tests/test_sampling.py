@@ -114,3 +114,17 @@ def test_exact_k_small_stratum_keeps_all(spark):
 def test_exact_k_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         sample_exact_k(_docs(spark, 9), "lang", 0, "doc_id")
+
+
+def test_exact_k_plan_uses_window_group_limit(spark):
+    # at 100 TB a per-stratum window with 5 strata is 5 tasks UNLESS the
+    # rank<=k filter pushes a partial group-limit below the shuffle —
+    # Spark's WindowGroupLimit does exactly that; pin it so a refactor
+    # (e.g. filtering on a derived column) can't silently lose it
+    df = _docs(spark, 50)
+    plan = (
+        sample_exact_k(df, "lang", 3, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
