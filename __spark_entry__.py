@@ -2134,6 +2134,96 @@ ORDER BY doc_id
 """
 
 
+_PREP_RATES = {"en": 0.8, "de": 0.6}
+_PREP_DEFAULT = 0.4
+_PREP_SALT = "prep1"
+
+
+def _q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation COMPOSITE — the whole training-data
+    prep path as one DataFrame program: Gopher-style repetition/length
+    gates (integer-exact thresholds over `repetition_stats`) -> per-
+    language reproducible hash sampling (`stratified_sample`) -> concat-
+    and-chunk packing (`pack_chunks`). Proves the operator families
+    compose; every stage keeps its scale shape (gram shuffles carry
+    counts, the sample is a narrow filter, the prefix sum is the two-pass
+    scan)."""
+    from review_crawler_spark.functions.text import repetition_stats
+    from review_crawler_spark.operators.packing import pack_chunks
+    from review_crawler_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    survivors = (
+        docs.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("top_unigram") * 5 <= F.col("n_tokens"))
+            & (F.col("dup_trigram_pos") * 10 <= F.col("n_trigrams") * 3)
+        )
+    )
+    sampled = stratified_sample(
+        survivors, "lang", _PREP_RATES, "doc_id",
+        default_rate=_PREP_DEFAULT, salt=_PREP_SALT,
+    ).select("doc_id", "n_tokens")
+    return pack_chunks(sampled, _PACK_CAPACITY).orderBy("chunk_id", "doc_id")
+
+
+def _sql_corpus_prep_pipeline() -> str:
+    """DuckDB twin: the composed SQL of the three stages (gram-count
+    CTEs, the identical md5-prefix comparison, window cumsum + span
+    explode)."""
+    from review_crawler_spark.operators.sampling import rate_threshold
+
+    whens = " ".join(
+        f"WHEN '{v}' THEN '{rate_threshold(r)}'"
+        for v, r in sorted(_PREP_RATES.items())
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM t),
+ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+uagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(max(c) AS BIGINT) AS top_unigram
+         FROM ucnt GROUP BY 1),
+tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' '
+                           || toks[i + 2])) AS g
+        FROM t),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tagg AS (SELECT doc_id,
+                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS dup_pos,
+                CAST(sum(c) AS BIGINT) AS n_tri
+         FROM tcnt GROUP BY 1),
+surv AS (
+  SELECT d.doc_id, u.n_tokens AS n
+  FROM documents d JOIN uagg u USING (doc_id)
+       LEFT JOIN tagg g USING (doc_id)
+  WHERE u.n_tokens >= 20 AND u.top_unigram * 5 <= u.n_tokens
+    AND COALESCE(g.dup_pos, 0) * 10 <= COALESCE(g.n_tri, 0) * 3
+    AND substring(md5(CAST(d.doc_id AS VARCHAR) || '{_PREP_SALT}'), 1, 15) <
+        CASE d.lang {whens} ELSE '{rate_threshold(_PREP_DEFAULT)}' END
+),
+c AS (SELECT doc_id, n,
+             COALESCE(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cb
+      FROM surv WHERE n > 0),
+x AS (SELECT doc_id, n, cb,
+             unnest(range(cb // {_PACK_CAPACITY},
+                          (cb + n - 1) // {_PACK_CAPACITY} + 1)) AS chunk_id
+      FROM c)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(0, chunk_id * {_PACK_CAPACITY} - cb) AS BIGINT)
+         AS tok_start,
+       CAST(least(n, (chunk_id + 1) * {_PACK_CAPACITY} - cb) AS BIGINT)
+         AS tok_end
+FROM x ORDER BY chunk_id, doc_id
+"""
+
+
 _PACK_CAPACITY = 64
 
 
@@ -2239,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "pack_chunks": _q_pack_chunks,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
     }
 
 
@@ -2297,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "pack_chunks": _SQL_PACK_CHUNKS,
+        "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
         # hyperplanes). Their oracles are inline VALUES tables produced by an
