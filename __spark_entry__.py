@@ -1826,6 +1826,110 @@ def _sql_video_frame_sample() -> str:
     )
 
 
+def _audio_corpus_ids() -> list[str]:
+    """Deterministic audio-payload corpus (real RIFF/WAVE PCM clips)."""
+    return [f"www.mdpi.com/article/{n}/audio1" for n in range(48)]
+
+
+def _q_audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio features over real WAV payloads: pure-Python RIFF
+    walk + PCM decode (`functions/audio.py::decode_wav` — an end-to-end
+    REAL codec path, WAV is lossless), then integer-exact energy /
+    mean-abs / peak / zero-crossing features. One mapInPandas pass,
+    zero shuffle before the output sort — the audio-modality analog of
+    `video_frame_sample`."""
+    from review_crawler_spark.functions.audio import audio_features
+    from review_crawler_spark.sources.audio_table import audios_df
+
+    auds = audios_df(spark, _audio_corpus_ids())
+    return (
+        audio_features(auds)
+        .select(
+            "audio_id", "sr", "channels", "n_samples", "sq_sum",
+            "abs_sum", "peak", "zero_crossings",
+        )
+        .orderBy("audio_id")
+    )
+
+
+def _sql_audio_clip_features() -> str:
+    """Oracle: expected per-clip stats from the pure sample generator
+    (`audio_table.audio_samples`) — never touches the WAV container
+    (encode→decode is bit-lossless, so the generator IS the decoded
+    ground truth). Verifies encoder, chunk walker, and the feature op
+    end-to-end."""
+    from review_crawler_spark.functions.audio import clip_features
+    from review_crawler_spark.sources.audio_table import audio_samples
+
+    rows = []
+    for aid in _audio_corpus_ids():
+        samples = audio_samples(aid)
+        sq, ab, pk, zc = clip_features(samples)
+        rows.append(
+            f"('{aid}', 8000, {samples.shape[1]}, {samples.shape[0]}, "
+            f"{sq}, {ab}, {pk}, {zc})"
+        )
+    return (
+        "SELECT audio_id, CAST(sr AS INTEGER) AS sr, "
+        "CAST(channels AS INTEGER) AS channels, "
+        "CAST(n_samples AS INTEGER) AS n_samples, "
+        "CAST(sq_sum AS BIGINT) AS sq_sum, "
+        "CAST(abs_sum AS BIGINT) AS abs_sum, CAST(peak AS INTEGER) AS peak, "
+        "CAST(zero_crossings AS INTEGER) AS zero_crossings "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(audio_id, sr, channels, "
+        "n_samples, sq_sum, abs_sum, peak, zero_crossings) ORDER BY audio_id"
+    )
+
+
+def _q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis: every full 256-sample window at a
+    512-sample hop, integer energy/peak/zero-crossings per window
+    (`functions/audio.py::sample_audio_windows`) — the frame-sampling op
+    on the sample axis; hop controls the row explosion the way every_k
+    does for video frames. One mapInPandas, zero shuffle."""
+    from review_crawler_spark.functions.audio import sample_audio_windows
+    from review_crawler_spark.sources.audio_table import audios_df
+
+    auds = audios_df(spark, _audio_corpus_ids())
+    return (
+        sample_audio_windows(auds, win=256, hop=512)
+        .select(
+            "audio_id", "win_idx", "start", "sq_sum", "peak",
+            "zero_crossings",
+        )
+        .orderBy("audio_id", "win_idx")
+    )
+
+
+def _sql_audio_window_energy() -> str:
+    """Oracle: the same windows sliced from the pure generator's
+    channel-0 samples (codec-independent, like the video frame oracle)."""
+    import numpy as np
+
+    from review_crawler_spark.functions.audio import _zero_crossings
+    from review_crawler_spark.sources.audio_table import audio_samples
+
+    win, hop = 256, 512
+    rows = []
+    for aid in _audio_corpus_ids():
+        mono = audio_samples(aid)[:, 0]
+        for w in range((len(mono) - win) // hop + 1):
+            seg = mono[w * hop:w * hop + win]
+            wide = seg.astype(np.int64)
+            rows.append(
+                f"('{aid}', {w}, {w * hop}, {int((wide * wide).sum())}, "
+                f"{int(np.abs(wide).max())}, {_zero_crossings(seg)})"
+            )
+    return (
+        "SELECT audio_id, CAST(win_idx AS INTEGER) AS win_idx, "
+        "CAST(start AS INTEGER) AS start, CAST(sq_sum AS BIGINT) AS sq_sum, "
+        "CAST(peak AS INTEGER) AS peak, "
+        "CAST(zero_crossings AS INTEGER) AS zero_crossings "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(audio_id, win_idx, "
+        "start, sq_sum, peak, zero_crossings) ORDER BY audio_id, win_idx"
+    )
+
+
 def _q_image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail normalization over the figure corpus: decode → 12×12
     nearest-neighbor resample → exact per-thumbnail features
@@ -2325,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_exact_k": _q_sample_exact_k,
         "video_frame_sample": _q_video_frame_sample,
+        "audio_clip_features": _q_audio_clip_features,
+        "audio_window_energy": _q_audio_window_energy,
         "quality_repetition": _q_quality_repetition,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
@@ -2384,6 +2490,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sql_sample_stratified(),
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "video_frame_sample": _sql_video_frame_sample(),
+        "audio_clip_features": _sql_audio_clip_features(),
+        "audio_window_energy": _sql_audio_window_energy(),
         "quality_repetition": _SQL_QUALITY_REPETITION,
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),

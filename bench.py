@@ -222,6 +222,29 @@ def bench_video_frames(spark, n: int = 3_000) -> float:
     return best
 
 
+def bench_audio_windows(spark, n: int = 20_000) -> float:
+    """Windowed-feature extraction over n real WAV clips (~2-3.5k samples
+    each → RIFF walk + PCM decode + ~4-7 windows per clip) — the
+    audio-modality analog of video_frames_3k. Generation is written out
+    first so the timed section measures decode+window, not the
+    generator."""
+    from review_crawler_spark.functions.audio import sample_audio_windows
+    from review_crawler_spark.sources.audio_table import audios_df
+
+    ids = [f"bench.host/article/{i}/audio1" for i in range(n)]
+    table = audios_df(spark, ids)
+    table.write.mode("overwrite").parquet("/tmp/bench_audio")
+    stored = spark.read.parquet("/tmp/bench_audio")
+    best = float("inf")
+    for _ in range(2):  # best-of-2 like bench_query; input generated once
+        t0 = time.time()
+        sample_audio_windows(stored, win=256, hop=512).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def total_busy(dt: float = 2.0) -> float:
     """Host-wide busy cores over a short sample (/proc/stat, USER_HZ=100).
     THE canonical copy — the scaling harness imports these three helpers,
@@ -288,6 +311,7 @@ def run_bench(cpus: int) -> dict:
         ),
         "image_decode_20k": round(bench_image_decode(spark), 3),
         "video_frames_3k": round(bench_video_frames(spark), 3),
+        "audio_windows_20k": round(bench_audio_windows(spark), 3),
     }
     # best-of-2 like bench_query: single runs intermittently absorb the
     # host's page-fault storms (BENCH_SCALING.md diagnosis)
