@@ -50,7 +50,7 @@ from bench import settle as _settle  # noqa: E402
 from bench import total_busy, wait_idle  # noqa: E402,F401
 
 sys.path.insert(0, os.path.join(REPO, "tools"))
-from membw_probe import copy_gbps  # noqa: E402
+from membw_probe import copy_gbps, kway  # noqa: E402
 
 
 ESTIMATOR = "sandwich-interleaved-barrier"
@@ -69,6 +69,19 @@ def _membw() -> float:
     return round(copy_gbps(256, inner=4), 2)
 
 
+def _membw_k(k: int) -> list[float]:
+    """k-way concurrent copy, per-proc GB/s (sorted ascending). The
+    single-stream read can stay healthy while the k-way envelope
+    collapses: one stream demands ~17 GB/s, sixteen demand ~173 GB/s
+    quiet — a neighbor-tenant load that only shaves the top of the
+    physical bus is invisible to the single-stream probe yet taxes every
+    core of a 16-core arm. Window 0 of the round-4 collection showed
+    exactly that (boundary single-stream 15.4-18.2 GB/s, external CPU
+    0.0, yet 2.3x CPU-seconds inflation inside the t4 arm), so the t4
+    arm is additionally bracketed with a probe at ITS concurrency."""
+    return [round(v, 2) for v in kway(k, 256)]
+
+
 def _host_busy_sec() -> float:
     """Cumulative host-wide busy CPU-seconds (same /proc/stat fields as
     bench.total_busy: user nice system irq softirq steal). Sampled at arm
@@ -84,7 +97,7 @@ def settle() -> None:
     time.sleep(5)
 
 
-def run(n: int, scaling_n: int, cores: int = 4) -> list[float]:
+def run(n: int, scaling_n: int, cores: int = 4) -> tuple:
     # start barrier: every child finishes JVM launch (heap pretouch),
     # codegen/python-worker warmup, and input materialization, THEN all
     # timed runs are released together onto a just-settled host. Without
@@ -157,6 +170,15 @@ def _median(xs: list[float]) -> float:
 def main() -> None:
     windows = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     scaling_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    # executor width. The default (4-core executors → 16 streaming cores in
+    # the 4-executor arm) oversubscribes this single box's per-core DRAM
+    # bandwidth (tools/membw_probe.py: ~0.62x solo per core at 16-way);
+    # exec_cores=1 keeps the 4-executor arm at 4 streaming cores — the
+    # probe-verified flat-bandwidth region — so it measures the ENGINE's
+    # N→4N scaling with the shared-bus artifact removed (a real 4-node
+    # cluster has 4 separate memory subsystems). Results land in separate
+    # files; the two populations are never pooled.
+    exec_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     new_windows = []
     for w in range(windows):
         # One WINDOW = one idle-gated sequence of interleaved arms run
@@ -174,11 +196,14 @@ def main() -> None:
                   flush=True)
             continue
         bw0 = _membw()
-        s1a, cpu1a, wall1a, ext1a = run(1, scaling_n)
+        s1a, cpu1a, wall1a, ext1a = run(1, scaling_n, exec_cores)
         bw1 = _membw()
-        s4, cpu4, wall4, ext4 = run(4, scaling_n)
+        k4 = 4 * exec_cores  # the t4 arm's streaming-core count
+        bwk_pre = _membw_k(k4)
+        s4, cpu4, wall4, ext4 = run(4, scaling_n, exec_cores)
+        bwk_post = _membw_k(k4)
         bw2 = _membw()
-        s1b, cpu1b, wall1b, ext1b = run(1, scaling_n)
+        s1b, cpu1b, wall1b, ext1b = run(1, scaling_n, exec_cores)
         bw3 = _membw()
         if s1a and s1b and len(s4) == 4:
             t1 = min(min(s1a), min(s1b))
@@ -223,10 +248,36 @@ def main() -> None:
                     # boundaries — the memory-subsystem weather no guest
                     # CPU counter records (see _membw)
                     "membw_gbps": [bw0, bw1, bw2, bw3],
+                    # k-way probe (k = t4 arm's core count) right before
+                    # and after the t4 arm: per-core GB/s under the SAME
+                    # concurrent demand the arm generates (see _membw_k)
+                    "membw_k": k4,
+                    "membw_k_pre": bwk_pre,
+                    "membw_k_post": bwk_post,
+                    "membw_k_agg": [
+                        round(sum(bwk_pre), 1), round(sum(bwk_post), 1)
+                    ],
+                    # bandwidth-model prediction for this window: if the
+                    # job were purely DRAM-bound, eff_tput would equal
+                    # per-core bandwidth at the t4 arm's concurrency over
+                    # the single-stream bandwidth (t1's 4 cores sit in the
+                    # probe-verified flat region). Diagnostic only — its
+                    # agreement/disagreement with eff_tput attributes the
+                    # window's loss to the memory subsystem or not.
+                    "eff_bw_pred": round(
+                        (sum(bwk_pre) + sum(bwk_post))
+                        / (2 * k4)
+                        / (sum([bw0, bw1, bw2, bw3]) / 4),
+                        3,
+                    ),
                 }
             )
             print(json.dumps(new_windows[-1]), flush=True)
-    path = os.path.join(REPO, "BENCH_SCALING_EXECUTORS.json")
+    path = os.path.join(
+        REPO,
+        "BENCH_SCALING_EXECUTORS.json" if exec_cores == 4
+        else f"BENCH_SCALING_EXECUTORS_C{exec_cores}.json",
+    )
     old = {}
     if os.path.exists(path):
         try:
@@ -306,7 +357,7 @@ def main() -> None:
         ]
         report = {
             "mode": "executor-model-paired",
-            "exec_cores": 4,
+            "exec_cores": exec_cores,
             "fanout": 4,
             "n_per_exec": scaling_n,
             "harness": (
