@@ -1668,19 +1668,26 @@ def _q_dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.orderBy("image_id")
 
 
-_PHASH_VALUES_CACHE: dict[str, int] = {}
+_IMAGE_META_CACHE: dict[str, dict] = {}
 
 
-def _phash_values() -> dict[str, int]:
-    """image_id → stored phash for the fixed corpus, via the same pure
-    generator the Spark table uses (computed once per process — the
-    codec round-trip for 200 figures costs ~1 s)."""
-    if not _PHASH_VALUES_CACHE:
+def _image_meta() -> dict[str, dict]:
+    """image_id → stored (w, h, fmt, phash) for the fixed corpus, via the
+    same pure generator the Spark table uses (computed once per process —
+    the codec round-trip for 200 figures costs ~1 s)."""
+    if not _IMAGE_META_CACHE:
         from review_crawler_spark.sources.images_table import make_image
 
         for i in _phash_corpus_ids():
-            _PHASH_VALUES_CACHE[i] = make_image(i)["phash"]
-    return _PHASH_VALUES_CACHE
+            r = make_image(i)
+            _IMAGE_META_CACHE[i] = {
+                k: r[k] for k in ("w", "h", "fmt", "phash")
+            }
+    return _IMAGE_META_CACHE
+
+
+def _phash_values() -> dict[str, int]:
+    return {i: m["phash"] for i, m in _image_meta().items()}
 
 
 def _sql_dedup_phash() -> str:
@@ -1775,6 +1782,182 @@ def _sql_image_meta_sniff() -> str:
         + ", ".join(rows)
         + ") AS t(image_id, fmt, w, h, comment) ORDER BY image_id"
     )
+
+
+_IMG_PREP_MIN_PIXELS = 1024
+_IMG_PREP_FMTS = ("png", "jpeg")
+
+
+def _img_prep_caption(fmt, caption, image_id, w):
+    """The deterministic caption augmentation both sides build: PNG rows
+    gain a contact email (credit lines real figure exports carry), JPEG
+    rows a render-host IPv4 — so the PII scrub stage has real work whose
+    outcome differs per row. Shared rule = shared columns only."""
+    return F.when(
+        fmt == "png",
+        F.concat(
+            caption, F.lit(" contact f"),
+            F.substring(F.md5(image_id), 1, 6),
+            F.lit("@lab.example.org"),
+        ),
+    ).otherwise(
+        F.concat(
+            caption, F.lit(" rendered at 10."),
+            (w % 256).cast("string"), F.lit(".0.2"),
+        )
+    )
+
+
+def _q_image_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image+caption corpus prep over the input_hint payload
+    table — the north rule's training-data composition, run as ONE
+    DataFrame program:
+
+      1. metadata gates — format whitelist + minimum pixel count, pure
+         narrow filters on the table's typed columns (at 100 TB these
+         prune the parquet scan before any byte of ``bytes`` is read);
+      2. perceptual keep-one-per-cluster — phash banded pairs
+         (`operators/dedup.py:phash_near_pairs`, only (image_id, phash)
+         shuffles) → connected components → the min-id survivor per
+         duplicate group;
+      3. caption scrub — deterministic PII augmentation (see
+         `_img_prep_caption`) then `functions/pii.py` chained redaction +
+         counters, plus a whitespace token count — all JVM regex, zero
+         Python, zero shuffle.
+
+    Scale shape: stage-1 filters push to the scan; stage-2 shuffles the
+    16-byte hash projection and broadcasts the component/size maps
+    (bounded by the pair list); stage-3 is a narrow projection. The
+    figure ``bytes`` column is never read. Oracle: pure-Python union-find
+    over an independent brute-force pair scan of the GATED generator
+    corpus, composed with a DuckDB twin of the gates + caption algebra."""
+    from review_crawler_spark.functions.pii import pii_scrub
+    from review_crawler_spark.operators.components import connected_components
+    from review_crawler_spark.operators.dedup import phash_near_pairs
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids())
+    gated = imgs.filter(
+        F.col("fmt").isin(*_IMG_PREP_FMTS)
+        & (F.col("w") * F.col("h") >= _IMG_PREP_MIN_PIXELS)
+    )
+    pairs = phash_near_pairs(
+        gated.select("image_id", "phash"), max_hamming=4
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy(F.col("component").alias("comp")).agg(
+        F.count("*").alias("sz")
+    )
+    canon = (
+        gated.join(F.broadcast(comp), gated.image_id == comp.id, "left")
+        .select(
+            "image_id", "fmt", "w", "h", "caption",
+            F.coalesce("component", "image_id").alias("cluster_id"),
+        )
+        # keep-one: the min-label survivor (cluster_id IS the min id)
+        .filter(F.col("image_id") == F.col("cluster_id"))
+        .join(F.broadcast(sizes), F.col("cluster_id") == F.col("comp"), "left")
+        .select(
+            "image_id", "fmt", "w", "h", "caption",
+            F.coalesce("sz", F.lit(1)).cast("int").alias("cluster_size"),
+        )
+    )
+    aug = canon.withColumn(
+        "caption",
+        _img_prep_caption(
+            F.col("fmt"), F.col("caption"), F.col("image_id"), F.col("w")
+        ),
+    )
+    return (
+        pii_scrub(aug, text_col="caption")
+        .select(
+            "image_id", "fmt",
+            F.col("w").cast("int").alias("w"),
+            F.col("h").cast("int").alias("h"),
+            "cluster_size",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("redacted").alias("caption_clean"),
+            F.size(F.split(F.col("redacted"), " ")).cast("long").alias(
+                "n_caption_tokens"
+            ),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_corpus_prep() -> str:
+    """Composed oracle for `image_corpus_prep`: Python replays the gates
+    and brute-force union-find over the generator metadata (independent
+    of banding + label propagation), emits canonical rows as VALUES; the
+    caption augmentation, RE2 scrub (identical regex subset, see
+    `functions/pii.py`), counters, and token count run in DuckDB SQL."""
+    from review_crawler_spark.functions.pii import REDACT_ORDER
+
+    meta = _image_meta()
+    ids = [
+        i for i, m in meta.items()
+        if m["fmt"] in _IMG_PREP_FMTS
+        and m["w"] * m["h"] >= _IMG_PREP_MIN_PIXELS
+    ]
+    parent = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            xor = (meta[a]["phash"] ^ meta[b]["phash"]) & 0xFFFFFFFFFFFFFFFF
+            if bin(xor).count("1") <= 4:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    roots: dict[str, list[str]] = {}
+    for i in ids:
+        roots.setdefault(find(i), []).append(i)
+    rows = []
+    for members in roots.values():
+        canon = min(members)
+        m = meta[canon]
+        rows.append(
+            f"('{canon}', '{m['fmt']}', {m['w']}, {m['h']}, "
+            f"{len(members)})"
+        )
+    aug = (
+        "CASE WHEN fmt = 'png' THEN "
+        "'Caption for ' || image_id || ' contact f' || "
+        "substr(md5(image_id), 1, 6) || '@lab.example.org' "
+        "ELSE 'Caption for ' || image_id || ' rendered at 10.' || "
+        "CAST(w % 256 AS VARCHAR) || '.0.2' END"
+    )
+    n_email = (
+        f"CAST(len(regexp_extract_all(caption, '{REDACT_ORDER[0][1]}')) "
+        "AS BIGINT)"
+    )
+    n_ipv4 = (
+        f"CAST(len(regexp_extract_all(caption, '{REDACT_ORDER[1][1]}')) "
+        "AS BIGINT)"
+    )
+    red = "caption"
+    for _, pat, token in REDACT_ORDER:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH canon(image_id, fmt, w, h, cluster_size) AS (VALUES {", ".join(rows)}),
+aug AS (
+  SELECT image_id, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+         CAST(cluster_size AS INTEGER) AS cluster_size, {aug} AS caption
+  FROM canon
+)
+SELECT image_id, fmt, w, h, cluster_size,
+       {n_email} AS n_email, {n_ipv4} AS n_ipv4,
+       {red} AS caption_clean,
+       CAST(len(string_split({red}, ' ')) AS BIGINT) AS n_caption_tokens
+FROM aug ORDER BY image_id
+"""
 
 
 def _video_corpus_ids() -> list[str]:
@@ -2424,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_audit": _q_image_decode_audit,
         "dedup_phash_images": _q_dedup_phash_images,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
+        "image_corpus_prep": _q_image_corpus_prep,
         "image_meta_sniff": _q_image_meta_sniff,
         "image_resize_thumbs": _q_image_resize_thumbs,
         "sample_stratified": _q_sample_stratified,
@@ -2485,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "review_rounds_extract": _SQL_REVIEW_ROUNDS,
         "dedup_phash_images": _sql_dedup_phash(),
         "dedup_phash_clusters": _sql_dedup_phash_clusters(),
+        "image_corpus_prep": _sql_image_corpus_prep(),
         "image_meta_sniff": _sql_image_meta_sniff(),
         "image_resize_thumbs": _sql_image_resize_thumbs(),
         "sample_stratified": _sql_sample_stratified(),

@@ -20,11 +20,15 @@ wave N:
                  dedup (min_by) → bloom prefilter → exact anti-join vs
                  url_seen                               [C3 two-phase dedup]
   6. COMMIT    — every per-wave write is O(wave delta), never O(live queue):
-                 the frontier is a pair of bucketed append logs —
-                 frontier_log (admitted + requeued rows) and
-                 frontier_tombstones (keys consumed by scheduling) — and
-                 queued = log ANTI JOIN tombstones, co-bucketed on exactly
-                 the join key so the anti-join plans zero Exchange. At a
+                 the frontier is ONE bucketed append log carrying both row
+                 kinds — appends (admitted + requeued rows, tomb_wave NULL)
+                 and tombstones (keys consumed by scheduling, tomb_wave =
+                 the consuming wave) — and queued = appends ANTI JOIN
+                 tombstones, a self-join of the co-bucketed table on exactly
+                 the join key, so the anti-join plans zero Exchange AND the
+                 commit is a single bucketed write per wave (two tables
+                 would double the per-wave shuffle+sort+DDL pipelines for
+                 no read-side gain). At a
                  STANDING 10^10-entry frontier with small politeness budgets
                  (the north rule's shape) the round-3 design rewrote ~10^10
                  untouched rows per wave to move ~10^4; this writes only the
@@ -67,7 +71,8 @@ MAX_ATTEMPTS = 2
 # anti-join then scans the (huge, cumulative) seen-table with NO Exchange —
 # only the wave's suspect rows shuffle (see checkpoint.append_delta_bucketed)
 SEEN_BUCKET_COLS = ("url_hash", "canonical_url")
-# frontier_log ⟕̸ frontier_tombstones anti-joins on exactly this key: it
+# frontier_log's append rows ⟕̸ its tombstone rows anti-join on exactly this
+# key: it
 # identifies one queued-row INSTANCE — a retry re-appends the same url at
 # attempt+1, so consuming attempt=k never hides the requeued attempt=k+1 row;
 # canonical_url keeps 64-bit hash collisions from tombstoning innocents.
@@ -169,6 +174,7 @@ class CrawlEngine:
             F.lit(0).alias("depth"), F.lit(0).alias("wave"),
             F.col("seq").cast("long"),
             F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
+            F.lit(None).cast("int").alias("tomb_wave"),
         )
         # the frontier is an append log from wave 0: seeds are its baseline
         self.store.append_delta_bucketed(
@@ -365,6 +371,7 @@ class CrawlEngine:
                 F.lit(wave + 1).alias("wave"),
                 F.col("seq").cast("long"),
                 F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
+                F.lit(None).cast("int").alias("tomb_wave"),
             )
             .localCheckpoint(eager=True)
         )
@@ -414,20 +421,21 @@ class CrawlEngine:
     def _queued(self, wave: int) -> DataFrame:
         """The live queue at the start of ``wave``: every frontier_log
         append since the compaction baseline, minus every key a prior wave
-        consumed. Both logs are bucketed catalog tables CLUSTERED BY exactly
-        the anti-join key, so the join plans zero Exchange — only metadata
-        and the (pruned) log partitions are read; nothing is rewritten."""
-        logs = self.store.read_bucketed_deltas_range(
+        consumed. Appends and consumed-key tombstones are ROW KINDS of the
+        same bucketed catalog table (tomb_wave NULL vs. the consuming wave),
+        CLUSTERED BY exactly the anti-join key, so the self-anti-join plans
+        zero Exchange on either side — only metadata and the (pruned) log
+        partitions are read; nothing is rewritten."""
+        raw = self.store.read_bucketed_deltas_range(
             self.spark, "frontier_log", self._frontier_base, wave
         )
-        if wave <= self._frontier_base or not self.store.has_bucketed(
-            "frontier_tombstones"
-        ):
+        logs = raw.filter(F.col("tomb_wave").isNull()).drop("tomb_wave")
+        if wave <= self._frontier_base:
             return logs
-        tombs = self.store.read_bucketed_deltas_range(
-            self.spark, "frontier_tombstones", self._frontier_base, wave - 1,
-            keep_wave=True,
-        )
+        logs = logs.alias("fl_q")
+        tombs = raw.filter(F.col("tomb_wave").isNotNull()).select(
+            *FRONTIER_KEY, "tomb_wave"
+        ).alias("fl_t")
         # epoch-aware: a tombstone written at wave T consumes only rows
         # (re)queued at wave ≤ T — a URL re-admitted AFTER seen-expiry
         # re-enters the log at a later wave and must survive the tombstone
@@ -435,10 +443,10 @@ class CrawlEngine:
         # columns, so the anti-join stays Exchange-free; the epoch test
         # rides along as a join filter.
         cond = (
-            (logs["url_hash"] == tombs["url_hash"])
-            & (logs["canonical_url"] == tombs["canonical_url"])
-            & (logs["attempt"] == tombs["attempt"])
-            & (tombs["w"] >= logs["wave"])
+            (F.col("fl_q.url_hash") == F.col("fl_t.url_hash"))
+            & (F.col("fl_q.canonical_url") == F.col("fl_t.canonical_url"))
+            & (F.col("fl_q.attempt") == F.col("fl_t.attempt"))
+            & (F.col("fl_t.tomb_wave") >= F.col("fl_q.wave"))
         )
         return logs.join(tombs, cond, "left_anti")
 
@@ -479,15 +487,24 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- one wave
     def run_wave(self) -> WaveStats | None:
+        import os as _os
+
+        trace = bool(_os.environ.get("RCS_TRACE_WAVES"))
+        marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if trace:
+                marks.append((label, time.time()))
+
         wave = self.next_wave
         t0 = time.time()
+        _mark("start")
         # GC frontier-log partitions superseded by a COMMITTED compaction
         # baseline (the manifest carrying frontier_base published last wave)
         if self._frontier_base > self._gc_done_base:
-            for name in ("frontier_log", "frontier_tombstones"):
-                self.store.drop_bucketed_partitions_below(
-                    self.spark, name, self._frontier_base
-                )
+            self.store.drop_bucketed_partitions_below(
+                self.spark, "frontier_log", self._frontier_base
+            )
             # bloom_log compacts on the same cadence: the compaction wave
             # wrote a FULL shard snapshot at w=base, so every older delta
             # is superseded — without this GC the per-wave LWW read costs
@@ -509,6 +526,7 @@ class CrawlEngine:
         if queued.isEmpty():
             queued.unpersist()
             return None
+        _mark("queued")
 
         scheduled = self._schedule(queued).cache()
 
@@ -555,9 +573,11 @@ class CrawlEngine:
         # the remaining counts are O(1) reads of already-cached data
         # (three stacked jobs otherwise, each paying scheduling overhead)
         n_new = admitted.count()
+        _mark("count_admitted")
         n_sched = scheduled.count()
         n_fetched = fetched.count()
         n_err = n_sched - n_fetched
+        _mark("counts_rest")
 
         # FRONTIER COMMIT — O(wave delta), never O(live queue). Three moves
         # happened this wave: scheduled rows left the queue (tombstones),
@@ -575,7 +595,10 @@ class CrawlEngine:
         if self.compact_every and (wave + 1) % self.compact_every == 0:
             # compaction wave: fold log-minus-tombstones into one baseline
             # partition and advance the base — the single amortized O(live)
-            # write that keeps the log from growing without bound
+            # write that keeps the log from growing without bound. The
+            # baseline needs NO tombstone rows: this wave's consumed keys
+            # are already excluded from `untouched`, and every older
+            # tombstone is below the new base (GC'd next wave).
             untouched = queued.join(
                 scheduled.select(*FRONTIER_KEY), list(FRONTIER_KEY),
                 "left_anti",
@@ -584,6 +607,18 @@ class CrawlEngine:
                 frontier_delta
             )
             new_base = wave + 1
+        frontier_out = frontier_delta.withColumn(
+            "tomb_wave", F.lit(None).cast("int")
+        )
+        if new_base == self._frontier_base:
+            # tombstone rows ride in the SAME bucketed write as the appends
+            # (one shuffle+sort+DDL pipeline per wave, not two): the
+            # consumed row itself, tagged with the consuming wave's epoch
+            frontier_out = frontier_out.unionByName(
+                scheduled.select(*fields).withColumn(
+                    "tomb_wave", F.lit(wave).cast("int")
+                )
+            )
         seen_delta = admitted.select(
             "url_hash", "canonical_url",
             F.lit(wave + 1).alias("first_wave"),
@@ -602,12 +637,7 @@ class CrawlEngine:
         # write targets its own table/partition.
         writes = [
             lambda: self.store.append_delta_bucketed(
-                "frontier_tombstones", wave,
-                scheduled.select(*FRONTIER_KEY),
-                FRONTIER_KEY, self.frontier_buckets,
-            ),
-            lambda: self.store.append_delta_bucketed(
-                "frontier_log", wave + 1, frontier_delta, FRONTIER_KEY,
+                "frontier_log", wave + 1, frontier_out, FRONTIER_KEY,
                 self.frontier_buckets,
             ),
             lambda: self.store.append_delta_bucketed(
@@ -670,12 +700,15 @@ class CrawlEngine:
                 )
             )
 
+        # one shuffle over the cached fetch frame (it carries both the
+        # scheduled rows and their fetch_status) — not two groupBys + a join
         metrics = (
-            scheduled.groupBy("host")
-            .agg(F.count("*").alias("urls_scheduled"))
-            .join(
-                fetched.groupBy("host").agg(F.count("*").alias("urls_fetched")),
-                "host", "left",
+            fetch.groupBy("host")
+            .agg(
+                F.count("*").alias("urls_scheduled"),
+                F.sum(
+                    (F.col("fetch_status") == 200).cast("long")
+                ).alias("urls_fetched"),
             )
             .select(
                 F.lit(wave).alias("wave"), "host", "urls_scheduled",
@@ -709,6 +742,7 @@ class CrawlEngine:
             # BEFORE the manifest publishes, exactly like the first attempt
             for i in failed_writes:
                 writes[i]()
+        _mark("writes")
 
         # the manifest is the commit point: every delta above is on disk
         self.store.commit_wave(
@@ -735,6 +769,14 @@ class CrawlEngine:
         self.url_seen = self._read_seen(wave + 1)
         self.bloom_shards = self._read_bloom(wave + 1)
         self.next_wave = wave + 1
+        if trace:
+            _mark("readback")
+            prev = t0
+            parts = []
+            for label, ts in marks[1:]:
+                parts.append(f"{label}={ts - prev:.2f}s")
+                prev = ts
+            print(f"[wave {wave}] " + " ".join(parts), flush=True)
         stats = WaveStats(
             wave, n_sched, n_fetched, n_new, n_err,
             int((time.time() - t0) * 1000),

@@ -119,11 +119,11 @@ def test_reregistration_after_catalog_loss(spark, engine):
 
 
 def test_frontier_antijoin_no_exchange_either_side(spark, engine):
-    """The live-queue read (frontier_log ANTI JOIN frontier_tombstones on
-    exactly the shared bucket key) must plan ZERO Exchange: both sides are
-    catalog tables CLUSTERED BY the full join key with equal bucket counts,
-    so at a standing 10^10-entry frontier the per-wave queue derivation
-    shuffles nothing at all."""
+    """The live-queue read (frontier_log's append rows ANTI JOIN its own
+    tombstone rows on exactly the bucket key) must plan ZERO Exchange: both
+    sides scan the same catalog table CLUSTERED BY the full join key, so at
+    a standing 10^10-entry frontier the per-wave queue derivation shuffles
+    nothing at all."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -133,8 +133,7 @@ def test_frontier_antijoin_no_exchange_either_side(spark, engine):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     assert "SortMergeJoin" in plan
-    assert engine.store.table_name("frontier_log") in plan
-    assert engine.store.table_name("frontier_tombstones") in plan
+    assert plan.count(engine.store.table_name("frontier_log")) >= 2
     assert plan.count("Bucketed: true") == 2, plan
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 0, plan

@@ -193,24 +193,27 @@ def test_resume_ignores_orphan_delta(spark, tmp_path, sim_result):
 
 
 def test_frontier_commit_is_o_delta(engine_result):
-    """The frontier is a pair of bucketed append logs; every wave writes
-    exactly its delta — tombstones for the scheduled rows, log appends for
-    requeued + admitted rows — never the untouched live queue (round-3
-    VERDICT #1: the full frontier overwrite was the last O(live) write)."""
+    """The frontier is ONE bucketed append log carrying appends and
+    consumed-key tombstone rows; every wave writes exactly its delta —
+    tombstones for the scheduled rows, appends for requeued + admitted
+    rows — never the untouched live queue (round-3 VERDICT #1: the full
+    frontier overwrite was the last O(live) write)."""
+    from pyspark.sql import functions as F
+
     eng, order, _, _ = engine_result
     last = eng.store.latest_wave()
-    # fully drained at crawl end (live queue = log minus tombstones)
+    # fully drained at crawl end (live queue = appends minus tombstones)
     assert eng.frontier.count() == 0
 
     for w in range(last + 1):
         man = eng.store.manifest(w)
-        n_tomb = eng.store.read_bucketed_delta(
-            eng.spark, "frontier_tombstones", w
-        ).count()
-        assert n_tomb == man["scheduled"]  # consumed keys only
-        n_delta = eng.store.read_bucketed_delta(
+        part = eng.store.read_bucketed_delta(
             eng.spark, "frontier_log", w + 1
-        ).count()
+        ).cache()
+        n_tomb = part.filter(F.col("tomb_wave") == w).count()
+        assert n_tomb == man["scheduled"]  # consumed keys only
+        n_delta = part.filter(F.col("tomb_wave").isNull()).count()
+        part.unpersist()
         errors = man["scheduled"] - man["fetched"]
         # delta = admitted + requeued retries (requeued ≤ this wave's errors)
         assert man["new"] <= n_delta <= man["new"] + errors
@@ -246,15 +249,15 @@ def test_standing_frontier_write_volume_is_o_delta(spark, tmp_path):
     for _ in range(3):
         assert eng.run_wave() is not None
 
+    from pyspark.sql import functions as F
+
     for w in range(3):
+        part = store.read_bucketed_delta(spark, "frontier_log", w + 1).cache()
         # consumed keys: exactly the politeness budget, NOT the ~400 queued
-        assert store.read_bucketed_delta(
-            spark, "frontier_tombstones", w
-        ).count() == budget
+        assert part.filter(F.col("tomb_wave") == w).count() == budget
         # no discoveries, no retries → zero appended rows
-        assert store.read_bucketed_delta(
-            spark, "frontier_log", w + 1
-        ).count() == 0
+        assert part.filter(F.col("tomb_wave").isNull()).count() == 0
+        part.unpersist()
     # the live queue is still large — the deltas above were ~1% of it
     assert eng.frontier.count() == n_urls - 3 * budget
     # checkpointed metrics log: one row per (wave, host), budget-bound

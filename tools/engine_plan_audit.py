@@ -3,8 +3,8 @@
 Two plans the wave loop must hold at a 10^10-URL frontier:
 1. url_seen exact-confirm anti-join — bucketed scan on the cumulative seen
    side, exactly ONE Exchange (the wave's suspect rows);
-2. frontier live-queue derivation (frontier_log ANTI JOIN tombstones on the
-   shared bucket key) — ZERO Exchange on either side.
+2. frontier live-queue derivation (frontier_log appends ANTI JOIN its own
+   tombstone rows on the shared bucket key) — ZERO Exchange on either side.
 Both captured from a real 3-wave engine over the golden site.
 """
 
@@ -82,13 +82,17 @@ on the seen scan). Pinned by tests/test_bucketed_seen.py.
 {p_confirm}
 ```
 
-## engine live-queue derivation (frontier_log ⟕̸ tombstones, round 4)
+## engine live-queue derivation (frontier_log self-anti-join, round 4)
 
-**Expected:** the standing frontier is a pair of bucketed append logs;
-queued = log ANTI JOIN tombstones on exactly the shared bucket key
-(url_hash, canonical_url, attempt) — ZERO Exchange on either side, so the
+**Expected:** the standing frontier is ONE bucketed append log carrying
+both row kinds — appends (tomb_wave NULL) and consumed-key tombstones
+(tomb_wave = consuming wave) — so each wave commits a single bucketed
+write; queued = appends ANTI JOIN tombstones, a self-join of the
+co-bucketed table on exactly the bucket key (url_hash, canonical_url,
+attempt) with the recrawl epoch test (tomb_wave ≥ row's queue wave)
+riding along as a join filter — ZERO Exchange on either side, so the
 per-wave queue read shuffles nothing at a 10^10-entry frontier, and the
-per-wave WRITES are the tombstone/append deltas only (O(wave delta); see
+per-wave WRITES are the append+tombstone delta only (O(wave delta); see
 tests/test_crawl_golden.py::test_standing_frontier_write_volume_is_o_delta).
 Audit found **{n_ex_queue} Exchanges**.
 
