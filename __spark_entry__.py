@@ -678,6 +678,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(d, jaccard_threshold=0.5, shingle_k=3)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup clusters over the embeddings table:
+    spherical k-means cells (learned buckets) → within-cell cosine pairs →
+    connected components → keep-one labels. Oracle = lock-step pure-Python
+    replica (tools/gen_expected.semantic_dedup_expected: same quantizer
+    float recipe, same sequential-fold cosine, independent union-find)."""
+    from review_crawler_spark.operators.dedup import semantic_dedup_clusters
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_clusters(e)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (pandas-UDF hash — no SQL oracle)."""
     d = load(spark, sf_dir, "documents")
@@ -2579,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "semantic_dedup_clusters": _q_semantic_dedup,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
@@ -2742,6 +2755,11 @@ def _expected_values_oracles() -> dict[str, str]:
             ann_gate,
             ["CAST(? AS BIGINT) AS query_id", "CAST(? AS BIGINT) AS vec_id",
              "CAST(? AS DOUBLE) AS cosine"],
+        ),
+        "semantic_dedup_clusters": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS BIGINT) AS cluster_id",
+             "CAST(? AS INT) AS cluster_size"],
         ),
     }
     out: dict[str, str] = {}

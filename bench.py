@@ -302,6 +302,9 @@ def run_bench(cpus: int) -> dict:
         "sessionize": round(bench_query(spark, "sessionize"), 3),
         "minhash_lsh_pairs": round(bench_query(spark, "minhash_lsh_pairs"), 3),
         "dedup_clusters": round(bench_query(spark, "dedup_clusters"), 3),
+        "semantic_dedup_clusters": round(
+            bench_query(spark, "semantic_dedup_clusters"), 3
+        ),
         "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),

@@ -72,7 +72,11 @@ def connected_components(
             .unionByName(via_nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("own").alias("own"))
-            .localCheckpoint(eager=False)
+            # eager: the convergence collect forces this immediately, and
+            # materializing via the checkpoint job is measurably faster
+            # than materializing inside the collect's plan (A/B at sf0.1:
+            # 3.4 s vs 3.9 s warm) — the agg then reads cached blocks
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(
             F.sum((F.col("label") != F.col("own")).cast("int")).alias("c")
@@ -163,7 +167,9 @@ def connected_components_star(
         return (
             hang.filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=False)
+            # eager: forced immediately by the round's signature collect
+            # (same trade as the propagation loop's per-round checkpoint)
+            .localCheckpoint(eager=True)
         )
 
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

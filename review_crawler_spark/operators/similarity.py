@@ -181,13 +181,10 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
     return centroids
 
 
-def ivf_assignments(
-    embeddings: DataFrame,
-    centroids: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, bucket) — nearest-centroid assignment, Arrow-batched BLAS."""
+def centroid_assign_col(centroids: np.ndarray, vec_col: str = "embedding") -> Column:
+    """Nearest-centroid bucket id as a column expression (Arrow-batched
+    BLAS) — usable as a narrow projection on the full frame, so callers
+    never need an (id → bucket) join back onto the table."""
     cent = centroids.astype(np.float64)
 
     @F.pandas_udf(T.IntegerType())
@@ -196,7 +193,19 @@ def ivf_assignments(
         dists = np.stack([((mat - c) ** 2).sum(axis=1) for c in cent], axis=1)
         return pd.Series(dists.argmin(axis=1).astype(np.int32))
 
-    return embeddings.select(F.col(id_col), assign_udf(F.col(vec_col)).alias("bucket"))
+    return assign_udf(F.col(vec_col))
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — nearest-centroid assignment, Arrow-batched BLAS."""
+    return embeddings.select(
+        F.col(id_col), centroid_assign_col(centroids, vec_col).alias("bucket")
+    )
 
 
 def ann_topk_ivf(

@@ -123,6 +123,33 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_semantic_dedup_clusters(spark):
+    """SemDeDup over learned k-means cells: two planted near-dup groups in
+    well-separated regions of the space cluster correctly (each group lands
+    in one cell, members labeled with the min id and the right size);
+    vectors far from everything stay out of the output (no cluster)."""
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [0.99, 0.015, 0.0, 0.0]),   # near dup of 1
+        (3, [0.98, 0.012, 0.01, 0.0]),  # near dup of 1 and 2 (size-3 group)
+        (10, [0.0, 0.0, 1.0, 0.02]),
+        (11, [0.0, 0.0, 0.99, 0.018]),  # near dup of 10
+        (50, [0.0, 1.0, 0.0, 0.0]),     # orthogonal singleton
+        (51, [0.5, 0.5, 0.5, 0.5]),     # diagonal singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in D.semantic_dedup_clusters(
+            emb, n_centroids=4, threshold=0.95, train_n=100
+        ).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
 def test_winnowing_fingerprints_match_pure_python(spark):
     """Spark winnow == from-scratch python winnow on known docs, and shared
     runs of >= window+k-1 words yield shared fingerprints (the winnowing

@@ -349,6 +349,68 @@ def ann_ivf_expected(
     return scored[:k]
 
 
+def semantic_dedup_expected(
+    vec_ids, mat, n_centroids=16, threshold=0.4, train_n=2000, iters=5
+):
+    """SemDeDup clusters: lock-step spherical k-means (the float recipe
+    operators/similarity._kmeans_fit commits to), nearest-centroid cells,
+    within-cell sequential-fold cosine (the exact zip_with/aggregate fold
+    order operators/dedup.embedding_near_dup_pairs uses, HALF_UP(6) before
+    the threshold test), union-find over the surviving pairs."""
+    def unit(m):
+        norms = np.sqrt((m ** 2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return m / norms[:, None]
+
+    sample = unit(mat[:train_n].astype(np.float64))
+    k = min(n_centroids, len(sample))
+    centroids = sample[:k].copy()
+    for _ in range(iters):
+        dists = np.stack(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    mat_u = unit(mat.astype(np.float64))
+    cells = np.stack(
+        [((mat_u - c) ** 2).sum(axis=1) for c in centroids], axis=1
+    ).argmin(axis=1)
+
+    dim = mat.shape[1]
+
+    def seq_norm(v):
+        acc = 0.0
+        for j in range(dim):
+            acc += v[j] * v[j]
+        return float(np.sqrt(acc))
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for j in range(dim):
+            acc += a[j] * b[j]
+        return acc
+
+    by_cell: dict[int, list[int]] = {}
+    for i in range(len(vec_ids)):
+        by_cell.setdefault(int(cells[i]), []).append(i)
+    norms = [seq_norm(mat[i]) for i in range(len(vec_ids))]
+    pairs = []
+    for members in by_cell.values():
+        members = sorted(members, key=lambda i: vec_ids[i])
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                cos = round_half_up(
+                    seq_dot(mat[a], mat[b]) / (norms[a] * norms[b]), 6
+                )
+                if cos >= threshold:
+                    pairs.append((int(vec_ids[a]), int(vec_ids[b]), cos))
+    return clusters_expected(pairs)
+
+
 def ann_ivf_batch_expected(
     vec_ids, mat, n_queries=3, k=10, n_centroids=16, nprobe=4, train_n=2000,
     iters=5,
@@ -418,7 +480,8 @@ def generate(sf_dirs):
 
     con = duckdb.connect()
     out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
-           "ann_topk_ivf": [], "ann_topk_ivf_batch": [], "dedup_clusters": []}
+           "ann_topk_ivf": [], "ann_topk_ivf_batch": [], "dedup_clusters": [],
+           "semantic_dedup_clusters": []}
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -470,6 +533,11 @@ def generate(sf_dirs):
         print(f"  ivf batch rows: {len(ivfb)}", flush=True)
         out["ann_topk_ivf_batch"].append(
             {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": ivfb}
+        )
+        sd = semantic_dedup_expected(vec_ids, mat)
+        print(f"  semantic dedup members: {len(sd)}", flush=True)
+        out["semantic_dedup_clusters"].append(
+            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[i, c, s] for i, c, s in sd]}
         )
     path = os.path.join(os.path.dirname(__file__), "..", "expected", "expected_pairs.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
