@@ -678,6 +678,53 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(d, jaccard_threshold=0.5, shingle_k=3)
 
 
+def _ensure_minhash_index(spark, sf_dir) -> str:
+    """Build-once persisted MinHash band index over the CORPUS partition
+    of documents (doc_id % 20 != 0); cache key = content fingerprint of
+    the source parquet (same invalidation rule as the IVF index). A fresh
+    session re-registers the existing bucketed files from the on-disk
+    spec instead of rebuilding."""
+    import hashlib as _h
+    import os as _os
+
+    from review_crawler_spark.operators.dedup import (
+        ensure_minhash_index_registered,
+        write_minhash_band_index,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    key = _h.md5(
+        f"{sf_dir.rstrip('/')}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    table = f"mh_band_index_{key}"
+    path = f"/tmp/mh_index_{key}"
+    if not ensure_minhash_index_registered(spark, table, path):
+        corpus = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 20 != 0
+        )
+        write_minhash_band_index(corpus, table, path)
+    return table
+
+
+def _q_dedup_slice_probe(spark, sf_dir):
+    """INCREMENTAL dedup — the per-wave production shape: a new crawl
+    slice (doc_id % 20 == 0, ~5% of documents) probed against the
+    persisted corpus band index (the other 95%, a bucketed catalog table
+    CLUSTERED BY exactly the join key). The corpus never shuffles and is
+    never re-shingled: the probe joins the slice's band keys against
+    co-located index buckets and estimates Jaccard from the two carried
+    signatures in one JVM fold. Oracle = lock-step pure-Python lane/band
+    replica (tools/gen_expected.slice_probe_expected)."""
+    from review_crawler_spark.operators.dedup import minhash_probe_index
+
+    table = _ensure_minhash_index(spark, sf_dir)
+    sl = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return minhash_probe_index(sl, table).select(
+        "slice_id", "corpus_id", "est_jaccard"
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup clusters over the embeddings table:
     spherical k-means cells (learned buckets) → within-cell cosine pairs →
@@ -2592,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "semantic_dedup_clusters": _q_semantic_dedup,
+        "dedup_slice_probe": _q_dedup_slice_probe,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
@@ -2760,6 +2808,11 @@ def _expected_values_oracles() -> dict[str, str]:
             ann_gate,
             ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS BIGINT) AS cluster_id",
              "CAST(? AS INT) AS cluster_size"],
+        ),
+        "dedup_slice_probe": (
+            doc_gate,
+            ["CAST(? AS BIGINT) AS slice_id", "CAST(? AS BIGINT) AS corpus_id",
+             "CAST(? AS DOUBLE) AS est_jaccard"],
         ),
     }
     out: dict[str, str] = {}

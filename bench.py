@@ -305,6 +305,9 @@ def run_bench(cpus: int) -> dict:
         "semantic_dedup_clusters": round(
             bench_query(spark, "semantic_dedup_clusters"), 3
         ),
+        "dedup_slice_probe": round(
+            bench_query(spark, "dedup_slice_probe"), 3
+        ),
         "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),

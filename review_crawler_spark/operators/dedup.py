@@ -135,6 +135,28 @@ def _minhash_sig_inner(
     )
 
 
+def _band_keys_arr(num_hashes: int, bands: int):
+    """Array of (band, key) structs over a ``sig`` column: key = xxhash64
+    over the band's lane slice. Shared by the in-corpus pair path and the
+    persisted band index so both sides of an incremental probe compute
+    identical keys."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -156,24 +178,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) — jaccard rounded to 6dp for stable
     comparisons.
     """
-    rows_per_band = num_hashes // bands
     spread_docs = _spread(docs.select(F.col(id_col), F.col(text_col)))
     # inner variant: docs without shingles can't pair anyway, and the public
     # minhash_signature's null-restore join would re-scan the corpus
     sigs = _minhash_sig_inner(
         spread_docs, id_col, text_col, num_hashes, shingle_k
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = _band_keys_arr(num_hashes, bands)
     buckets = sigs.select(id_col, F.explode(band_arr).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
@@ -586,6 +597,144 @@ def semantic_dedup_clusters(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster_id"),
         F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+# -------------------------------------------------- incremental (slice) dedup
+
+def write_minhash_band_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's MinHash LSH band index as a BUCKETED catalog
+    table: one row per (band, key) per document, carrying the document's
+    full signature, CLUSTERED BY exactly (band, key).
+
+    This is the production shape of incremental dedup at 100 TB: the
+    corpus index is built ONCE per snapshot; every subsequent crawl slice
+    probes it via a join that is co-located on the index side (bucketed
+    scan, zero Exchange of the corpus — only the slice's band keys
+    shuffle; the same commit trick the crawl engine's url_seen table
+    uses, crawler/checkpoint.py). A sidecar ``_index_spec.json`` records
+    the bucket spec so a fresh session re-registers the existing files
+    instead of rebuilding (Spark's in-memory catalog is session-scoped)."""
+    import json
+    import os
+
+    spread_docs = _spread(docs.select(F.col(id_col), F.col(text_col)))
+    sigs = _minhash_sig_inner(
+        spread_docs, id_col, text_col, num_hashes, shingle_k
+    )
+    rows = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_band_keys_arr(num_hashes, bands)).alias("bk"),
+        "sig",
+    ).select("bk.band", "bk.key", "doc_id", "sig")
+    (
+        rows.write.format("parquet")
+        .bucketBy(num_buckets, "band", "key")
+        .sortBy("band", "key")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    cols_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rows.schema.fields
+    )
+    spec = {"num_buckets": num_buckets, "cols_ddl": cols_ddl}
+    tmp = os.path.join(path, "_index_spec.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.rename(tmp, os.path.join(path, "_index_spec.json"))
+
+
+def ensure_minhash_index_registered(spark, table: str, path: str) -> bool:
+    """Re-register an on-disk band index in a fresh session's catalog
+    (CREATE TABLE over the existing bucketed files — no data rewrite).
+    Returns False if no index exists at ``path``."""
+    import json
+    import os
+
+    spec_file = os.path.join(path, "_index_spec.json")
+    if not os.path.exists(spec_file):
+        return False
+    if spark.catalog.tableExists(table):
+        return True
+    with open(spec_file) as fh:
+        spec = json.load(fh)
+    spark.sql(
+        f"CREATE TABLE {table} ({spec['cols_ddl']}) USING PARQUET "
+        f"CLUSTERED BY (band, key) SORTED BY (band, key) "
+        f"INTO {spec['num_buckets']} BUCKETS LOCATION '{path}'"
+    )
+    return True
+
+
+def minhash_probe_index(
+    slice_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    est_threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW crawl slice against the persisted
+    corpus band index → (slice_id, corpus_id, est_jaccard).
+
+    The slice's signatures band-key exactly like the index rows
+    (`_band_keys_arr` is shared), the candidate join keys on precisely the
+    index's bucket columns so the corpus side never shuffles, and the
+    MinHash Jaccard estimate (fraction of agreeing lanes) is one JVM
+    zip_with/aggregate fold over the two signatures already carried by
+    the joined row — no second corpus scan for verification, which is the
+    point: a 100 TB corpus is probed with slice-sized I/O plus the
+    matched index buckets."""
+    spark = slice_docs.sparkSession
+    index = spark.table(table)
+    sigs = _minhash_sig_inner(
+        _spread(slice_docs.select(F.col(id_col), F.col(text_col))),
+        id_col, text_col, num_hashes, shingle_k,
+    )
+    probe = sigs.select(
+        F.col(id_col).alias("slice_id"),
+        F.explode(_band_keys_arr(num_hashes, bands)).alias("bk"),
+        F.col("sig").alias("slice_sig"),
+    ).select("slice_id", "bk.band", "bk.key", "slice_sig")
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("slice_sig"), F.col("sig"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / num_hashes,
+        6,
+    )
+    matched = (
+        probe.join(index, ["band", "key"])
+        .filter(F.col("slice_id") != F.col("doc_id"))
+        .select(
+            "slice_id", F.col("doc_id").alias("corpus_id"),
+            est.alias("est_jaccard"),
+        )
+    )
+    return (
+        matched.groupBy("slice_id", "corpus_id")
+        # the estimate is a pure function of the two signatures — every
+        # band-collision row of a pair carries the identical value
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
     )
 
 

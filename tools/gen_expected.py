@@ -193,6 +193,66 @@ def minhash_expected(ids, texts, num_hashes=32, bands=8, shingle_k=3, thr=0.5):
     return out
 
 
+def slice_probe_expected(
+    ids, texts, slice_mod=20, num_hashes=32, bands=8, shingle_k=3,
+    est_threshold=0.4,
+):
+    """Incremental slice-vs-corpus-index probe: corpus = doc_id %
+    slice_mod != 0, slice = the rest. Lock-step lane/band math with
+    minhash_expected (same xxh64 chain, same band keys); the estimate is
+    the agreeing-lane fraction, HALF_UP(6), thresholded — exactly what
+    operators/dedup.minhash_probe_index computes on the joined row."""
+    rows_per_band = num_hashes // bands
+    lane_cache: dict[str, list[int]] = {}
+
+    def lanes_of(sh: str) -> list[int]:
+        got = lane_cache.get(sh)
+        if got is None:
+            base = xxh64(sh.encode("utf-8"), 42)
+            h_long = xxh64(struct.pack("<Q", base), 42)
+            got = [
+                _to_signed(xxh64(struct.pack("<i", i), h_long))
+                for i in range(num_hashes)
+            ]
+            lane_cache[sh] = got
+        return got
+
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in zip(ids, texts):
+        sh = shingles(text, shingle_k)
+        if not sh:
+            continue
+        sigs[doc_id] = [
+            min(lanes_of(s)[i] for s in sh) for i in range(num_hashes)
+        ]
+
+    corpus_buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        if doc_id % slice_mod == 0:
+            continue
+        for b in range(bands):
+            key = spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band])
+            corpus_buckets.setdefault((b, key), []).append(doc_id)
+
+    pairs: set[tuple[int, int]] = set()
+    for doc_id, sig in sigs.items():
+        if doc_id % slice_mod != 0:
+            continue
+        for b in range(bands):
+            key = spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band])
+            for cid in corpus_buckets.get((b, key), ()):
+                pairs.add((doc_id, cid))
+    out = []
+    for sid, cid in sorted(pairs):
+        agree = sum(
+            1 for a, b in zip(sigs[sid], sigs[cid]) if a == b
+        )
+        est = round_half_up(agree / num_hashes, 6)
+        if est >= est_threshold:
+            out.append((sid, cid, est))
+    return out
+
+
 # ---------------------------------------------------------------- simhash
 
 def _fnv1a64(b: bytes) -> int:
@@ -481,7 +541,7 @@ def generate(sf_dirs):
     con = duckdb.connect()
     out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
            "ann_topk_ivf": [], "ann_topk_ivf_batch": [], "dedup_clusters": [],
-           "semantic_dedup_clusters": []}
+           "semantic_dedup_clusters": [], "dedup_slice_probe": []}
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -511,6 +571,11 @@ def generate(sf_dirs):
         print(f"  clusters: {len(cl)} members", flush=True)
         out["dedup_clusters"].append(
             {"gate": doc_gate, "rows": [[i, c, s] for i, c, s in cl]}
+        )
+        sp = slice_probe_expected(ids, texts)
+        print(f"  slice-probe rows: {len(sp)}", flush=True)
+        out["dedup_slice_probe"].append(
+            {"gate": doc_gate, "rows": [[a, b, e] for a, b, e in sp]}
         )
 
         emb = con.execute(
