@@ -167,6 +167,67 @@ def bench_engine_waves(
     return dt, total
 
 
+def bench_standing_frontier(
+    spark, sizes=(150_000, 600_000), hosts: int = 8, budget: int = 500,
+    waves: int = 2,
+) -> dict:
+    """North-rule standing-frontier shape: the SAME small per-wave delta
+    (hosts x budget URLs) over live queues of very different sizes. With
+    O(delta) frontier/bloom/url_seen commits, per-wave wall must grow far
+    slower than the queue (only the schedule scan is O(live)); the round-3
+    design — full queue rewrite per wave — tracked the size ratio. Reports
+    wall at both sizes plus wall_ratio vs size_ratio. Seeds arrive as a
+    DataFrame (the at-scale path: seed lists live in tables, not on the
+    driver)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+
+    walls = []
+    for n in sizes:
+        urls = spark.range(n).select(
+            F.concat(
+                F.lit("https://h"), (F.col("id") % hosts).cast("string"),
+                F.lit(".example.org/p/"), F.col("id").cast("string"),
+            ).alias("url"),
+            F.col("id").alias("seq"),
+            F.lit(1).cast("long").alias("priority"),
+        )
+        graph = urls.select(
+            "url", F.lit("article").alias("kind"), F.lit(200).alias("status")
+        )
+        links = spark.createDataFrame(
+            [], "page_url string, link_url string, link_pri int, link_idx int"
+        )
+        rules = {f"h{i}.example.org": ((), None) for i in range(hosts)}
+        eng = CrawlEngine(
+            spark, site_graph=graph, site_links=links,
+            store=SnapshotStore(tempfile.mkdtemp(prefix="bench_standing_")),
+            budget=budget, robots_rules=rules,
+            num_bloom_shards=max(16, spark.sparkContext.defaultParallelism),
+        )
+        eng.seed(urls)
+        eng.run_wave()  # warm-up: first log read + codegen off the clock
+        best = float("inf")
+        for _ in range(2):  # best-of-2: same host-weather defense as above
+            t0 = time.time()
+            for _ in range(waves):
+                eng.run_wave()
+            best = min(best, time.time() - t0)
+        walls.append(best)
+    return {
+        "sizes": list(sizes),
+        "delta_per_wave": hosts * budget,
+        "waves_timed": waves,
+        "secs": [round(w, 3) for w in walls],
+        "wall_ratio": round(walls[1] / walls[0], 3),
+        "size_ratio": round(sizes[1] / sizes[0], 2),
+    }
+
+
 def bench_query(spark, name: str, runs: int = 2) -> float:
     """Best-of-N wall for one query (noop sink, full execution).
 
@@ -339,6 +400,11 @@ def run_bench(cpus: int) -> dict:
     eng_runs = [round(eng_s, 3), round(eng_s2, 3)]
     eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
+    standing = bench_standing_frontier(spark)
+    # per-wave wall at the LARGE standing queue — the north-rule shape
+    queries["standing_frontier_wave"] = round(
+        standing["secs"][1] / standing["waves_timed"], 3
+    )
     urls_per_sec = FRONTIER_N / frontier_s
     return {
         "engine_urls_per_sec": round(eng_urls / eng_s, 1),
@@ -347,6 +413,9 @@ def run_bench(cpus: int) -> dict:
         # (round-3 VERDICT #8) — same for the headline's three runs
         "engine_waves_runs": eng_runs,
         "frontier_pipeline_runs": [round(s, 3) for s, _ in runs],
+        # fixed 4k-URL wave delta over 150k vs 600k live queues: wall_ratio
+        # far below size_ratio evidences the O(delta) commit shape
+        "standing_frontier": standing,
         "metric": "frontier_urls_scheduled_fetched_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",

@@ -162,11 +162,25 @@ class CrawlEngine:
         self._gc_done_base = 0
 
     # ------------------------------------------------------------- seeding
-    def seed(self, seed_rows: list[tuple[str, int, int]]) -> None:
-        """seed_rows: (url, seq, priority) — depth-0 frontier, wave 0."""
-        raw = self.spark.createDataFrame(
+    def _seed_raw(self, seed_rows) -> DataFrame:
+        """Accept seeds as a driver list of (url, seq, priority) — the
+        test/demo path — or as a DataFrame with those columns: at the
+        north rule's 10^10-URL scale seed lists live in tables (sitemap
+        dumps, recrawl campaigns), never on the driver."""
+        if isinstance(seed_rows, DataFrame):
+            return seed_rows.select(
+                "url",
+                F.col("seq").cast("long"),
+                F.col("priority").cast("long"),
+            )
+        return self.spark.createDataFrame(
             seed_rows, "url string, seq long, priority long"
         )
+
+    def seed(self, seed_rows) -> None:
+        """seed_rows: (url, seq, priority) tuples or a DataFrame of the
+        same columns — depth-0 frontier, wave 0."""
+        raw = self._seed_raw(seed_rows)
         ident = with_url_identity(raw)
         seed_frontier = ident.select(
             "url", "canonical_url", "url_hash", "host",
@@ -338,7 +352,7 @@ class CrawlEngine:
         self.bloom_shards = self._read_bloom(wave + 1)
         return n
 
-    def enqueue(self, seed_rows: list[tuple[str, int, int]]) -> int:
+    def enqueue(self, seed_rows) -> int:
         """Mid-crawl seed injection — the standing-frontier operation
         (sitemap pings, recrawl campaigns re-entering expired URLs) the
         north rule's 10^10-entry frontier implies: new work arrives while
@@ -355,9 +369,7 @@ class CrawlEngine:
         if self.url_seen is None:
             raise ValueError("enqueue before seed()/resume()")
         wave = self.next_wave
-        raw = self.spark.createDataFrame(
-            seed_rows, "url string, seq long, priority long"
-        )
+        raw = self._seed_raw(seed_rows)
         ident = with_url_identity(raw)
         rows = (
             ident.join(

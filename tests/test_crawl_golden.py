@@ -369,3 +369,30 @@ def test_compaction_preserves_golden_and_gcs_logs(spark, tmp_path, sim_result):
     assert order == sim_result.fetch_order
     seen = {r["canonical_url"] for r in eng2.url_seen_set().collect()}
     assert seen == sim_result.url_seen
+
+
+def test_dataframe_seed_golden(spark, tmp_path, sim_result):
+    """Seeds supplied as a DataFrame (the at-scale path: sitemap dumps /
+    recrawl campaigns live in tables, not driver lists) must crawl
+    identically to list seeds — same order, same url_seen."""
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_dfseed")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        num_bloom_shards=4,
+    )
+    seed_df = spark.createDataFrame(
+        seeds(), "url string, seq long, priority long"
+    )
+    eng.seed(seed_df)
+    eng.run(max_waves=100)
+    order = [
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    ]
+    assert order == sim_result.fetch_order
+    seen = {r["canonical_url"] for r in eng.url_seen_set().collect()}
+    assert seen == sim_result.url_seen
