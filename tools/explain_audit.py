@@ -94,6 +94,48 @@ AUDITED = {
         "RIFF walk→PCM decode→window features in ONE mapInPandas over the "
         "payload generator; no shuffle before the output sort"
     ),
+    "semantic_dedup_clusters": (
+        "SemDeDup: 2k-row quantizer train is the only collect; cell "
+        "assignment is one Arrow projection; the cosine pair self-join is "
+        "equi-keyed on the LEARNED _sem_cell (never all-pairs); component "
+        "and size maps are edge-list-sized broadcasts"
+    ),
+    "dedup_slice_probe": (
+        "incremental dedup: the candidate join hits the PERSISTED band "
+        "index on exactly its bucket columns (band, key) — bucketed scan, "
+        "zero Exchange of the corpus index; only the slice's band keys "
+        "shuffle; jaccard estimate is a JVM zip_with fold on the joined "
+        "row, no second corpus scan"
+    ),
+    "dedup_phash_images": (
+        "image near-dup: banding Exchange carries only (image_id, phash) "
+        "~16 B/row — figure bytes never shuffle; pigeonhole band buckets "
+        "bound the candidate join away from O(n^2)"
+    ),
+    "dedup_phash_clusters": (
+        "keep-one-per-cluster: component + size maps broadcast (bounded "
+        "by the pair list), corpus joins them without an Exchange; bytes "
+        "column pruned from every scan"
+    ),
+    "image_corpus_prep": (
+        "end-to-end corpus prep: fmt/pixel gates are narrow filters ahead "
+        "of everything; phash banding is the only row Exchange; component/"
+        "size hops broadcast; caption PII scrub is pure codegen regex — "
+        "zero Python after the decode stage, bytes never read"
+    ),
+    "image_meta_sniff": (
+        "header-walk audit: ONE mapInPandas over the payload scan, no "
+        "shuffle before the output sort — metadata without decoding pixels"
+    ),
+    "video_frame_sample": (
+        "video modality: decode + frame-sample + per-frame features in "
+        "ONE mapInPandas; no shuffle before the output sort"
+    ),
+    "quality_repetition": (
+        "Gopher repetition counters: gram explosion stays in codegen "
+        "(explode + substring windows), shuffles carry (doc_id, gram, "
+        "count) rows only — document text never shuffles"
+    ),
     "decontaminate_ngram_overlap": (
         "bench gram-hashes distinct'd then broadcast; the train-side gram "
         "explosion is NOT pre-distinct'd, so it flows scan→generate→"
