@@ -228,6 +228,23 @@ def bench_standing_frontier(
     }
 
 
+def _clear_spark_state(spark) -> None:
+    """Unpersist every lingering cached / localCheckpoint block between
+    timed entries. Eager localCheckpoints pin storage memory for the life
+    of the session; with ~20 suite entries (several checkpoint-heavy) the
+    unified memory manager ends up evicting and spilling the LATER
+    entries' execution pages — measured 5× on the headline admission
+    pipeline (24 s in-suite vs 5 s standalone in the same JVM state,
+    round 4). A real cluster job runs one pipeline per executor lifetime,
+    so clearing between entries is what makes entry N measure entry N."""
+    try:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
+
+
 def bench_query(spark, name: str, runs: int = 2) -> float:
     """Best-of-N wall for one query (noop sink, full execution).
 
@@ -245,6 +262,7 @@ def bench_query(spark, name: str, runs: int = 2) -> float:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+        _clear_spark_state(spark)
     return best
 
 
@@ -350,6 +368,31 @@ def _wait_host_idle(limit_cores: float = 1.0, timeout: float = 120) -> None:
     wait_idle(limit=limit_cores, timeout=timeout)
 
 
+def _host_calibration() -> dict:
+    """Tiny host-speed fingerprint recorded with every bench line, so
+    cross-round comparisons can separate engine changes from hardware
+    weather. Round 4 measured the SAME commit ~2× slower wall-to-wall on
+    a day the box's single-stream copy ran 11 GB/s instead of the 19 GB/s
+    documented in BENCH_MEMBW.json — without a per-line calibration that
+    reads as a code regression. Best-of-3 memcpy (numpy copy counts read+
+    write bytes) + a fixed pure-CPU md5 loop."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.ones(256 * 1024 * 1024 // 8)
+    gbps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        a.copy()
+        gbps = max(gbps, 2 * a.nbytes / (time.time() - t0) / 1e9)
+    t0 = time.time()
+    x = b"x" * 1000
+    for _ in range(100_000):
+        x = hashlib.md5(x).digest()
+    return {"memcpy_gbps": round(gbps, 1), "md5_100k_sec": round(time.time() - t0, 3)}
+
+
 def run_bench(cpus: int) -> dict:
     _wait_host_idle()
     spark = build_session(cpus)
@@ -388,7 +431,10 @@ def run_bench(cpus: int) -> dict:
     # healthy — see BENCH_SCALING.md diagnosis); the minimum is the
     # least-stalled estimate and one extra run meaningfully improves the
     # odds of catching a quiet window
-    runs = [bench_frontier_pipeline(spark, FRONTIER_N) for _ in range(3)]
+    runs = []
+    for _ in range(3):
+        runs.append(bench_frontier_pipeline(spark, FRONTIER_N))
+        _clear_spark_state(spark)
     frontier_s = min(s for s, _ in runs)
     n_out = runs[0][1]
     queries["frontier_pipeline"] = round(frontier_s, 3)
@@ -396,11 +442,14 @@ def run_bench(cpus: int) -> dict:
     # that absorbed a host page-fault storm and read as a 2.2x engine
     # regression — pairs of runs separate engine changes from host weather
     eng_s, eng_urls = bench_engine_waves(spark)
+    _clear_spark_state(spark)
     eng_s2, _ = bench_engine_waves(spark)
+    _clear_spark_state(spark)
     eng_runs = [round(eng_s, 3), round(eng_s2, 3)]
     eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
     standing = bench_standing_frontier(spark)
+    _clear_spark_state(spark)
     # per-wave wall at the LARGE standing queue — the north-rule shape
     queries["standing_frontier_wave"] = round(
         standing["secs"][1] / standing["waves_timed"], 3
@@ -419,6 +468,10 @@ def run_bench(cpus: int) -> dict:
         "metric": "frontier_urls_scheduled_fetched_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",
+        # host-speed fingerprint: read bench walls relative to this, not
+        # absolutely — the sandbox rotates across hosts of very different
+        # memory bandwidth (19 vs 11 GB/s observed across rounds)
+        "host": _host_calibration(),
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": cpus,
