@@ -251,19 +251,25 @@ def bench_query(spark, name: str, runs: int = 2) -> float:
     Best-of-2 because this host's page-fault stalls intermittently inflate
     single runs 3-5× (see BENCH_SCALING.md diagnosis); the minimum is the
     least-stalled estimate and the second run also reflects the plan-cache /
-    page-cache state a warm cluster would have.
+    page-cache state a warm cluster would have. When the two runs disagree
+    by >2x a storm straddled the pair — one bounded extra run after a
+    re-gate gives the minimum a shot at a quiet window.
     """
     import __spark_entry__ as entrymod
 
     fn = entrymod.queries()[name]
-    best = float("inf")
-    for _ in range(runs):
+    walls: list[float] = []
+    for i in range(runs + 1):
+        if i == runs:  # adaptive third run only on 2x disagreement
+            if min(walls) * 2 >= max(walls):
+                break
+            _wait_host_idle(timeout=60)
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
+        walls.append(time.time() - t0)
         _clear_spark_state(spark)
-    return best
+    return min(walls)
 
 
 def bench_image_decode(spark, n: int = 20_000) -> float:
@@ -358,14 +364,55 @@ def settle() -> None:
         pass
 
 
-def _wait_host_idle(limit_cores: float = 1.0, timeout: float = 120) -> None:
-    """Short idle gate before the timed suite (same hygiene as the scaling
-    harness): the sandbox host carries bursty external load, and starting
-    into a storm records weather, not code. Bounded wait — if the storm
-    outlasts the timeout we proceed and the per-query best-of-N minimum is
-    the fallback defense."""
+def _membw_now() -> float:
+    """One-shot single-stream copy bandwidth (GB/s) — ~30 ms when healthy.
+
+    The host's dominant weather mode is a NEIGHBOR saturating the shared
+    memory bus: /proc/stat looks idle (their cycles bill to their cgroup)
+    while our copies run 3x slow. A quick copy probe is the only local
+    signal that sees it."""
+    import numpy as np
+
+    a = np.ones(128 * 1024 * 1024 // 8)
+    best = 0.0
+    # first pass absorbs first-touch page faults (100x slow after large
+    # frees until compaction — the settle() pathology); best-of-2 measures
+    # streaming bandwidth, not the allocator
+    for _ in range(2):
+        t0 = time.time()
+        a.copy()
+        best = max(best, 2 * a.nbytes / (time.time() - t0) / 1e9)
+    return best
+
+
+_BW0 = [0.0]  # best single-stream GB/s seen at suite start (gate baseline)
+
+
+def _wait_host_idle(
+    limit_cores: float = 1.0,
+    timeout: float = 120,
+    membw_frac: float = 0.6,
+) -> bool:
+    """Bounded readiness gate before each timed section: CPU-idle (external
+    processes visible in /proc/stat) AND memory-bandwidth (external
+    processes visible only as bus contention — an idle-CPU storm measured
+    7.3 GB/s vs the 15-19 GB/s healthy band and inflated the whole suite
+    ~2x). The bandwidth floor is RELATIVE to the best reading at suite
+    start (this box's no-load bandwidth itself swings 7-19 GB/s across
+    hours, so an absolute floor would stall forever on a slow-weather day;
+    a relative floor only catches storms that ARRIVE mid-suite). If the
+    storm outlasts the timeout we proceed and the per-query best-of-N
+    minimum is the fallback defense."""
     settle()
-    wait_idle(limit=limit_cores, timeout=timeout)
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if total_busy() < limit_cores:
+            bw = _membw_now()
+            _BW0[0] = max(_BW0[0], bw)
+            if bw >= membw_frac * _BW0[0]:
+                return True
+        time.sleep(5)
+    return False
 
 
 def _host_calibration() -> dict:
@@ -395,6 +442,7 @@ def _host_calibration() -> dict:
 
 def run_bench(cpus: int) -> dict:
     _wait_host_idle()
+    host_pre = _host_calibration()
     spark = build_session(cpus)
     spark.range(1).count()  # JVM warmup
     queries = {
@@ -433,6 +481,7 @@ def run_bench(cpus: int) -> dict:
     # odds of catching a quiet window
     runs = []
     for _ in range(3):
+        _wait_host_idle(timeout=60)  # re-gate: storms arrive mid-suite too
         runs.append(bench_frontier_pipeline(spark, FRONTIER_N))
         _clear_spark_state(spark)
     frontier_s = min(s for s, _ in runs)
@@ -441,13 +490,16 @@ def run_bench(cpus: int) -> dict:
     # best-of-2 like every other entry: round 2 recorded a single cold run
     # that absorbed a host page-fault storm and read as a 2.2x engine
     # regression — pairs of runs separate engine changes from host weather
+    _wait_host_idle(timeout=90)
     eng_s, eng_urls = bench_engine_waves(spark)
     _clear_spark_state(spark)
+    _wait_host_idle(timeout=90)
     eng_s2, _ = bench_engine_waves(spark)
     _clear_spark_state(spark)
     eng_runs = [round(eng_s, 3), round(eng_s2, 3)]
     eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
+    _wait_host_idle(timeout=60)
     standing = bench_standing_frontier(spark)
     _clear_spark_state(spark)
     # per-wave wall at the LARGE standing queue — the north-rule shape
@@ -470,8 +522,10 @@ def run_bench(cpus: int) -> dict:
         "unit": "urls/sec",
         # host-speed fingerprint: read bench walls relative to this, not
         # absolutely — the sandbox rotates across hosts of very different
-        # memory bandwidth (19 vs 11 GB/s observed across rounds)
+        # memory bandwidth (19 vs 11 GB/s observed across rounds). Recorded
+        # both before and after the suite so a mid-run storm is visible.
         "host": _host_calibration(),
+        "host_pre": host_pre,
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": cpus,
