@@ -2354,6 +2354,57 @@ ORDER BY doc_id
 """
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality bucketing (CCNet's third pillar after
+    dedup + langid — `operators/lm_quality.py`): add-1-smoothed token
+    bigram model trained on the corpus itself, every document scored by
+    its average negative log-likelihood and bucketed by integer nats.
+    Per-bigram NLL is quantized to integer tenth-milli-nats inside the LM
+    dim, so per-doc sums are order-independent long arithmetic — the
+    DuckDB twin reproduces them bit-for-bit."""
+    from review_crawler_spark.operators.lm_quality import lm_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_quality_score(docs).orderBy("doc_id")
+
+
+_SQL_LM_QUALITY = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+  FROM words WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+), lm AS (
+  SELECT w1, w2,
+         CAST(round((ln(c1 + v) - ln(c12 + 1)) * 10000, 0) AS BIGINT) AS nll_e4
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+), sc AS (
+  SELECT doc_id, count(*) AS n, sum(nll_e4) AS s
+  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bigrams,
+       CAST(s AS BIGINT) AS nll_e4,
+       round(s / 10000.0 / n, 6) AS avg_nll,
+       CAST(floor(s / 10000.0 / n) AS INT) AS quality_bucket
+FROM sc
+ORDER BY doc_id
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (`functions/pii.py`): the documents text
     is deterministically augmented with one synthetic email / IPv4 / phone
@@ -2677,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clip_features": _q_audio_clip_features,
         "audio_window_energy": _q_audio_window_energy,
         "quality_repetition": _q_quality_repetition,
+        "lm_quality": _q_lm_quality,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "pack_chunks": _q_pack_chunks,
@@ -2739,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_clip_features": _sql_audio_clip_features(),
         "audio_window_energy": _sql_audio_window_energy(),
         "quality_repetition": _SQL_QUALITY_REPETITION,
+        "lm_quality": _SQL_LM_QUALITY,
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "pack_chunks": _SQL_PACK_CHUNKS,
