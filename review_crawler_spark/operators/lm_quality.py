@@ -79,7 +79,10 @@ def train_bigram_lm(
     distinct-token vocabulary size of the training corpus (1-row aggregate,
     collected — the same justified-scalar shape as the components fixpoint
     signature)."""
-    bg = _doc_bigrams(train_docs, id_col, text_col)
+    return _lm_from_bigrams(_doc_bigrams(train_docs, id_col, text_col))
+
+
+def _lm_from_bigrams(bg: DataFrame) -> DataFrame:
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
@@ -120,10 +123,17 @@ def lm_quality_score(
     (bucket b covers perplexity e^b..e^(b+1) per token); deterministic
     because it floors an exact IEEE division of two integers, identical in
     any engine."""
-    lm = train_bigram_lm(
-        train_docs if train_docs is not None else docs, id_col, text_col
-    )
-    bg = _doc_bigrams(docs, id_col, text_col)
+    if train_docs is None:
+        # self-scoring: the bigram explode (the dominant subtree — tokenize
+        # + normalize + explode of the full corpus) feeds THREE consumers
+        # (vocab agg, count agg, scoring join). Materialize it once so the
+        # plan recomputes none of them — same eager-checkpoint discipline
+        # as the minhash bucket_groups (operators/dedup.py:193-208).
+        bg = _doc_bigrams(docs, id_col, text_col).localCheckpoint(eager=True)
+        lm = _lm_from_bigrams(bg)
+    else:
+        lm = train_bigram_lm(train_docs, id_col, text_col)
+        bg = _doc_bigrams(docs, id_col, text_col)
     scored = bg.join(lm, ["w1", "w2"])
     return (
         scored.groupBy("id")
