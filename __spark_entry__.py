@@ -2405,6 +2405,45 @@ ORDER BY doc_id
 """
 
 
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality gate (`operators/host_quality.py` —
+    RefinedWeb-style URL filtering): aggregate integer quality signals per
+    source host, keep documents whose host passes the short-doc-share and
+    mean-length gates. The verdict dim is broadcast back; all verdicts are
+    integer cross-multiplications so the DuckDB twin is bit-exact."""
+    from review_crawler_spark.operators.host_quality import host_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        host_quality_filter(docs)
+        .select("doc_id", "source", "n_docs", "n_tokens", "n_short")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_HOST_QUALITY = r"""
+WITH sig AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM documents
+), agg AS (
+  SELECT source AS host, count(*) AS n_docs, sum(tok) AS n_tokens,
+         sum(CASE WHEN tok < 20 THEN 1 ELSE 0 END) AS n_short
+  FROM sig GROUP BY source
+), kept AS (
+  SELECT * FROM agg
+  WHERE n_short * 100 <= n_docs * 8 AND n_tokens >= n_docs * 48
+)
+SELECT s.doc_id, s.source,
+       CAST(k.n_docs AS BIGINT) AS n_docs,
+       CAST(k.n_tokens AS BIGINT) AS n_tokens,
+       CAST(k.n_short AS BIGINT) AS n_short
+FROM sig s JOIN kept k ON s.source = k.host
+ORDER BY s.doc_id
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (`functions/pii.py`): the documents text
     is deterministically augmented with one synthetic email / IPv4 / phone
@@ -2729,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_energy": _q_audio_window_energy,
         "quality_repetition": _q_quality_repetition,
         "lm_quality": _q_lm_quality,
+        "host_quality_gate": _q_host_quality,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "pack_chunks": _q_pack_chunks,
@@ -2792,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_window_energy": _sql_audio_window_energy(),
         "quality_repetition": _SQL_QUALITY_REPETITION,
         "lm_quality": _SQL_LM_QUALITY,
+        "host_quality_gate": _SQL_HOST_QUALITY,
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "pack_chunks": _SQL_PACK_CHUNKS,
