@@ -143,6 +143,17 @@ AUDITED = {
         "survivors reach the per-doc countDistinct exchange; doc_id%17 "
         "filters pushed to both scans"
     ),
+    "lm_quality": (
+        "bigram explode materialized ONCE (Scan ExistingRDD leaves — the "
+        "eager localCheckpoint); LM dim built from it with map-side "
+        "partial aggs; scan reads only (doc_id, text)"
+    ),
+    "host_quality_gate": (
+        "per-doc signals in the scan projection (no shuffle); host "
+        "aggregate shuffles (host, ints) partials with map-side combine; "
+        "verdict dim returns via BroadcastHashJoin — the corpus side "
+        "never exchanges"
+    ),
 }
 
 
