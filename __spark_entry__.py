@@ -2699,6 +2699,96 @@ FROM x ORDER BY chunk_id, doc_id
 """
 
 
+_SHARD_TARGET = 8192
+
+
+def _q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output-shard assignment (`operators/sharding.py`):
+    the WebDataset/MDS-style write manifest — every curated document goes
+    to the shard its byte position (in a deterministic md5 train order)
+    lands in, so shards hold ~_SHARD_TARGET chars each regardless of the
+    heavy-tailed size distribution. The prefix sum runs as the two-pass
+    distributed scan (range shuffle + Arrow cumsum), not a single-task
+    global window — the oracle's naive window form is the semantics, the
+    Spark plan is the one that survives 100 TB."""
+    from review_crawler_spark.operators.sharding import shard_assign
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("sz")
+    )
+    return (
+        shard_assign(docs, "doc_id", "sz", _SHARD_TARGET)
+        .select("doc_id", "sz", "shard_id")
+        .orderBy("shard_id", "doc_id")
+    )
+
+
+_SQL_SHARD_PACK = f"""
+WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sz,
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS ok
+           FROM documents),
+c AS (SELECT doc_id, sz,
+             COALESCE(CAST(sum(sz) OVER (ORDER BY ok, CAST(doc_id AS VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cb
+      FROM d)
+SELECT doc_id, sz, cb // {_SHARD_TARGET} AS shard_id
+FROM c ORDER BY shard_id, doc_id
+"""
+
+
+_ASPECT_BATCH = 8
+_ASPECT_IDS = [f"www.plos.org/figure/{n}" for n in range(240)]
+
+
+def _q_image_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio batch bucketing over the input_hint image table
+    (NaViT / SDXL-bucketing shape): images whose w/h falls in the same
+    ladder class are packed into fixed-size training batches in a
+    deterministic hash order, so batch membership survives re-runs and
+    cluster resizes. The within-bucket ordinal is a global distributed
+    scan over (bucket, hash) — no per-bucket single-task window, which is
+    what kills the naive form at 100 TB where half the corpus is one
+    'square' bucket. Oracle: generator geometry (seed math only) as
+    inline VALUES + DuckDB's windowed row_number — independent logic."""
+    from review_crawler_spark.operators.sharding import image_aspect_batches
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _ASPECT_IDS).select("image_id", "w", "h")
+    return (
+        image_aspect_batches(imgs, _ASPECT_BATCH)
+        .select("bucket", "image_id", "w", "h", "batch_id", "slot")
+        .orderBy("bucket", "batch_id", "slot")
+    )
+
+
+def _sql_image_aspect_batches() -> str:
+    from review_crawler_spark.sources.images_table import image_dims
+
+    vals = ",\n".join(
+        f"('{i}', {w}, {h})"
+        for i, (w, h) in ((i, image_dims(i)) for i in _ASPECT_IDS)
+    )
+    return f"""
+WITH imgs(image_id, w, h) AS (VALUES {vals}),
+b AS (SELECT image_id, w, h,
+        CASE WHEN w*1.0/h < 0.6 THEN 'tall'
+             WHEN w*1.0/h < 0.9 THEN 'portrait'
+             WHEN w*1.0/h < 1.15 THEN 'square'
+             WHEN w*1.0/h < 1.6 THEN 'landscape'
+             ELSE 'wide' END AS bucket,
+        substring(md5(image_id), 1, 15) AS ok
+      FROM imgs),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY bucket ORDER BY ok, image_id) - 1 AS bord
+      FROM b)
+SELECT bucket, image_id, w, h,
+       CAST(bord // {_ASPECT_BATCH} AS BIGINT) AS batch_id,
+       CAST(bord % {_ASPECT_BATCH} AS INTEGER) AS slot
+FROM r ORDER BY bucket, batch_id, slot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -2772,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "pack_chunks": _q_pack_chunks,
+        "shard_pack": _q_shard_pack,
+        "image_aspect_batches": _q_image_aspect_batches,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
     }
 
@@ -2836,6 +2928,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "pack_chunks": _SQL_PACK_CHUNKS,
+        "shard_pack": _SQL_SHARD_PACK,
+        "image_aspect_batches": _sql_image_aspect_batches(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy

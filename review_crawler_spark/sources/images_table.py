@@ -74,6 +74,15 @@ def _base_pixels(base_id: str) -> tuple[np.ndarray, int, int, str]:
     return pixels, w, h, fmt
 
 
+def image_dims(image_id: str) -> tuple[int, int]:
+    """(w, h) for an id by the generator's seed math alone — no pixel
+    synthesis, no encode. Shared with oracle fixtures that need only the
+    geometry (e.g. aspect-bucketing twins)."""
+    base_id = image_id.partition("~dup")[0] or image_id
+    seed = zlib.crc32(base_id.encode()) & 0xFFFFFFFF
+    return int(24 + (seed % 5) * 8), int(16 + ((seed >> 3) % 4) * 8)
+
+
 def make_image(image_id: str) -> dict:
     """Pure generator: image_id → full row dict (shared with tests).
 
