@@ -147,6 +147,11 @@ def image_aspect_batches(
         .withColumn("_one", F.lit(1).cast("long"))
     )
     d = prefix_sum(d, "_scan_key", "_one", out_col="_gord")
+    # two consumers below (the starts aggregate and the join's left side):
+    # pin the scan output once so the cumsum pass doesn't re-run per
+    # consumer — the frame is narrow (manifest columns only, payload
+    # bytes long since pruned), so materializing is linear and cheap
+    d = d.localCheckpoint()
     starts = d.groupBy("bucket").agg(F.min("_gord").alias("_bstart"))
     return (
         d.join(F.broadcast(starts), "bucket")

@@ -148,6 +148,20 @@ AUDITED = {
         "eager localCheckpoint); LM dim built from it with map-side "
         "partial aggs; scan reads only (doc_id, text)"
     ),
+    "shard_pack": (
+        "NO global Window node: the size prefix sum is the pinned "
+        "distributed scan (Scan ExistingRDD = the localCheckpoint'd "
+        "range-partitioned frame) + zero-shuffle mapInPandas cumsum; "
+        "shard_id is codegen div math; the only Exchange is the output "
+        "sort"
+    ),
+    "image_aspect_batches": (
+        "within-bucket ordinals via ONE global scan (pinned twice: the "
+        "range-partitioned input and the cumsum output — Scan ExistingRDD "
+        "leaves, so neither pass re-runs per consumer); per-bucket starts "
+        "are a 5-row partial agg returned via BroadcastHashJoin — the "
+        "corpus side never exchanges before the output sort"
+    ),
     "host_quality_gate": (
         "per-doc signals in the scan projection (no shuffle); host "
         "aggregate shuffles (host, ints) partials with map-side combine; "
