@@ -2699,6 +2699,52 @@ FROM x ORDER BY chunk_id, doc_id
 """
 
 
+_MIX_FACTORS = {"en": 0.6, "de": 2.5, "fr": 3.0, "zh": 0.0}
+_MIX_SALT = "mix-r4"
+
+
+def _q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by repeat-and-sample (`operators/mixing.py`): apply
+    a target mix — de ×2.5, fr ×3, en ×0.6, zh dropped, default ×1 — as
+    deterministic repetition plus an md5-gated fractional copy. The plan
+    is scan → codegen CASE + explode(sequence) — no shuffle, no state;
+    membership of every copy is a pure function of (doc_id, salt), so
+    re-runs and cluster resizes reproduce the identical mixed corpus."""
+    from review_crawler_spark.operators.mixing import upsample_mix
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        upsample_mix(docs, "lang", _MIX_FACTORS, "doc_id", salt=_MIX_SALT)
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+def _sql_mix_upsample() -> str:
+    from review_crawler_spark.operators.sampling import rate_threshold
+
+    whens_whole = " ".join(
+        f"WHEN '{lang}' THEN {int(f)}" for lang, f in sorted(_MIX_FACTORS.items())
+    )
+    whens_frac = " ".join(
+        f"WHEN '{lang}' THEN '{rate_threshold(f - int(f))}'"
+        for lang, f in sorted(_MIX_FACTORS.items())
+    )
+    return f"""
+WITH d AS (SELECT doc_id, lang,
+                  substring(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'),
+                            1, 15) AS hk
+           FROM documents),
+p AS (SELECT doc_id, lang,
+             CASE lang {whens_whole} ELSE 1 END
+             + CASE WHEN hk < (CASE lang {whens_frac}
+                               ELSE '{rate_threshold(0.0)}' END)
+                    THEN 1 ELSE 0 END AS n
+      FROM d)
+SELECT doc_id, lang, CAST(unnest(range(n)) AS INTEGER) AS copy_id
+FROM p WHERE n > 0 ORDER BY doc_id, copy_id
+"""
+
+
 _SHARD_TARGET = 8192
 
 
@@ -2864,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "shard_pack": _q_shard_pack,
         "image_aspect_batches": _q_image_aspect_batches,
+        "mix_upsample": _q_mix_upsample,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
     }
 
@@ -2930,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _SQL_PACK_CHUNKS,
         "shard_pack": _SQL_SHARD_PACK,
         "image_aspect_batches": _sql_image_aspect_batches(),
+        "mix_upsample": _sql_mix_upsample(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy
