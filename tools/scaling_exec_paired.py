@@ -137,7 +137,16 @@ def run(n: int, scaling_n: int, cores: int = 4) -> tuple:
         pass
     secs = []
     for p in procs:
-        out, _ = p.communicate()
+        # per-arm watchdog: a wedged child (observed once: a 1-task stage
+        # parked at zero CPU forever — a pyspark worker-handshake hang)
+        # must not wait the whole harness; the arm is abandoned and the
+        # window invalidated by the len(secs) check downstream
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            print(json.dumps({"arm_child_timeout": p.pid}), flush=True)
         for line in out.splitlines():
             if line.startswith("ONCE_RESULT "):
                 secs.append(json.loads(line[len("ONCE_RESULT "):])["sec"])
