@@ -41,13 +41,18 @@ def sniff_meta(data: bytes) -> tuple[str, int, int, str | None]:
 
     Raises ValueError on unrecognized or truncated headers — the same
     contract as the decoders, reached without touching pixel data."""
-    if data[:8] == PNG_SIG:
-        return _sniff_png(data)
-    if data[:2] == JPEG_SOI:
-        return _sniff_jpeg(data)
-    if data[:6] in GIF_SIGS:
-        w, h = struct.unpack("<HH", data[6:10])
-        return "gif", w, h, gif_comment(data)
+    try:
+        if data[:8] == PNG_SIG:
+            return _sniff_png(data)
+        if data[:2] == JPEG_SOI:
+            return _sniff_jpeg(data)
+        if data[:6] in GIF_SIGS:
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h, gif_comment(data)
+    except (struct.error, IndexError) as exc:
+        # short-slice unpacks inside the walkers surface as the contract
+        # ValueError, same as the full decoders
+        raise ValueError(f"malformed header: {exc!r}") from None
     raise ValueError("bad magic")
 
 
@@ -78,11 +83,18 @@ def _sniff_jpeg(data: bytes) -> tuple[str, int, int, str | None]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
-        marker = data[pos + 1]
+        pos += 1
+        # T.81 B.1.1.2: skip optional 0xFF fill bytes before the marker
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos + 3 > len(data):
+            break
+        marker = data[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        body = data[pos + 4 : pos + 2 + seglen]
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: dims
             _depth, h, w = struct.unpack(">BHH", body[:5])
             dims = (w, h)
@@ -90,7 +102,7 @@ def _sniff_jpeg(data: bytes) -> tuple[str, int, int, str | None]:
             comment = body.decode("utf-8", errors="replace")
         elif marker == 0xDA:  # SOS: entropy data follows — headers done
             break
-        pos += 2 + seglen
+        pos += seglen  # pos already sits on the length field
     if dims is None:
         raise ValueError("no SOF before scan data")
     return "jpeg", dims[0], dims[1], comment

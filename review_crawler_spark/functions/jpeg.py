@@ -445,8 +445,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
-        marker = data[pos + 1]
-        pos += 2
+        pos += 1
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them so third-party encoders' padding parses
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated at fill bytes")
+        marker = data[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])

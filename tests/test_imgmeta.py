@@ -65,3 +65,23 @@ def test_sniff_images_isolates_bad_records(spark):
     rows = sniff_images(df).collect()
     assert len(rows) == 1
     assert rows[0].sniff_error is not None and rows[0].fmt is None
+
+
+def test_sniff_jpeg_fill_bytes_and_short_headers():
+    # T.81 B.1.1.2: optional 0xFF fill bytes before a marker are legal —
+    # third-party encoders emit them; both the sniffer and the decoder
+    # must walk past them
+    from review_crawler_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    enc = encode_jpeg(px, comment="cap")
+    filled = enc[:2] + b"\xff\xff" + enc[2:]
+    assert sniff_meta(filled) == sniff_meta(enc)
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(enc))
+    # truncated headers surface as the documented ValueError, never a raw
+    # struct.error/IndexError escaping to callers that follow the contract
+    for junk in (b"GIF87a\x01\x02", b"\x89PNG\r\n\x1a\n\x00\x00",
+                 b"\xff\xd8\xff"):
+        with pytest.raises(ValueError):
+            sniff_meta(junk)
