@@ -737,6 +737,84 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_clusters(e)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    k-gram anchoring): every maximal token span whose 8-grams all occur
+    >= 2x corpus-wide. One shuffle of (xxhash64, doc_id, pos) — document
+    text never shuffles (`operators/spandedup.py`). Oracle groups on the
+    gram STRING, so it is independent of the hash function."""
+    from review_crawler_spark.operators.spandedup import duplicated_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=8).orderBy("doc_id", "span_start")
+
+
+_SQL_GRAMS_CTE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+         i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                          gram := array_to_string(toks[i:i+7], ' ')))) AS s
+  FROM t WHERE len(toks) >= 8
+),
+g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g0)
+"""
+
+_SQL_DEDUP_SPANS = _SQL_GRAMS_CTE + """,
+m AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g),
+d AS (SELECT doc_id, pos FROM m WHERE c >= 2),
+s AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             THEN 0 ELSE 1 END AS brk FROM d),
+seg AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM seg GROUP BY doc_id, sid
+"""
+
+
+def _q_dedup_span_strip(spark, sf_dir):
+    """ExactSubstr removal: rewrite each document with redundant
+    duplicated spans stripped, keeping the corpus-first occurrence of
+    every duplicated passage (row_number over the same gram-hash window).
+    Reconstruction is a broadcast span-dim + JVM higher-order filter —
+    the corpus never shuffles (`operators/spandedup.py`)."""
+    from review_crawler_spark.operators.spandedup import strip_duplicated_spans
+
+    d = load(spark, sf_dir, "documents")
+    return strip_duplicated_spans(d, k=8).orderBy("doc_id")
+
+
+_SQL_DEDUP_SPAN_STRIP = _SQL_GRAMS_CTE + """,
+m AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c,
+        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+d AS (SELECT doc_id, pos FROM m WHERE c >= 2 AND rn >= 2),
+s AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             THEN 0 ELSE 1 END AS brk FROM d),
+seg AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s),
+sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+       FROM seg GROUP BY doc_id, sid),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(span_end - span_start) AS BIGINT) AS tokens_removed
+        FROM sp GROUP BY doc_id),
+tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         i -> struct_pack(p := CAST(i - 1 AS BIGINT), tk := toks[i]))) AS s FROM t),
+tok AS (SELECT doc_id, s.p AS p, s.tk AS tk FROM tok0),
+keep AS (SELECT tok.doc_id, p, tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+                           AND tok.p >= sp.span_start AND tok.p < sp.span_end)),
+agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_clean FROM keep GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(agg.text_clean, '') AS text_clean,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.tokens_removed, 0) AS BIGINT) AS tokens_removed
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (pandas-UDF hash — no SQL oracle)."""
     d = load(spark, sf_dir, "documents")
@@ -2852,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_dates": _q_x13_dates,
         "tpch_q1": _q_tpch_q1,
         "dedup_exact": _q_dedup_exact,
+        "dedup_spans": _q_dedup_spans,
+        "dedup_span_strip": _q_dedup_span_strip,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "sessionize": _q_sessionize,
@@ -2932,6 +3012,8 @@ def oracle_sql() -> dict[str, str]:
         "x13_dates": _SQL_X13,
         "tpch_q1": _SQL_Q1,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_spans": _SQL_DEDUP_SPANS,
+        "dedup_span_strip": _SQL_DEDUP_SPAN_STRIP,
         "text_stats": _SQL_TEXT_STATS,
         "text_langid": _SQL_LANGID,
         "sessionize": _SQL_SESSIONIZE,

@@ -461,6 +461,7 @@ def run_bench(cpus: int) -> dict:
             bench_query(spark, "dedup_slice_probe"), 3
         ),
         "simhash_pairs": round(bench_query(spark, "simhash_pairs"), 3),
+        "dedup_span_strip": round(bench_query(spark, "dedup_span_strip"), 3),
         "lm_quality": round(bench_query(spark, "lm_quality"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),
