@@ -834,6 +834,16 @@ def _q_ann_ivf(spark, sf_dir):
     return S.ann_topk_ivf(e, ANN_QUERY, k=10).select("vec_id", "cosine")
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou TPAMI'11): per-subspace codebooks →
+    ADC lookup-table scan over m-byte codes (the 32× I/O-reduced exhaustive
+    pass a 100 TB embedding table needs) → top-rerank candidates → exact
+    cosine rescore. Oracle = pure-Python lock-step replica
+    (tools/gen_expected.ann_pq_expected)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_pq(e, ANN_QUERY, k=10).select("vec_id", "cosine")
+
+
 def _ensure_ivf_index(spark, sf_dir) -> str:
     """Build-once persisted IVF index for sf_dir; cache key = CONTENT
     fingerprint (path + size + mtime of the source parquet), not the path
@@ -2269,6 +2279,84 @@ def _q_image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_pixel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-statistic quality gating (the LAION/DataComp-style decode-pass
+    filter, `functions/imgquality.py`): ONE Arrow decode extracts exact
+    integer counters (BT.601 luma moments, saturation, edge count, luma
+    histogram bins), then the verdict is a narrow JVM projection of integer
+    cross-multiplications — zero shuffle end-to-end. Restricted to the
+    LOSSLESS formats so the oracle derives counters from generator pixels;
+    jpeg goes through the same op in units (PSNR-gated codec)."""
+    from review_crawler_spark.functions.imgquality import (
+        image_quality_stats,
+        with_quality_verdict,
+    )
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _phash_corpus_ids()).filter(F.col("fmt") != "jpeg")
+    return (
+        with_quality_verdict(image_quality_stats(imgs))
+        .select(
+            "image_id", "n_px", "luma_sum", "luma_sumsq", "sat_sum",
+            "edge_count", "luma_bins", "passes",
+        )
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_pixel_gate() -> str:
+    """Oracle: independent scalar-loop counters over the generator's
+    pre-encode pixels (lossless round trip makes those the decoded ground
+    truth) as inline VALUES, with the gate arithmetic re-expressed in SQL
+    integer cross-multiplications — the verdict logic is checked in a
+    second, independent language."""
+    from review_crawler_spark.sources.images_table import make_image
+
+    rows = []
+    for i in _phash_corpus_ids():
+        rec = make_image(i)
+        if rec["fmt"] == "jpeg":
+            continue
+        px = rec["_pixels"]
+        h, w = px.shape[:2]
+        s = sq = sat = edges = 0
+        bins = set()
+        luma = [[0] * w for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                lv = (77 * r + 150 * g + 29 * b) // 256
+                luma[y][x] = lv
+                s += lv
+                sq += lv * lv
+                sat += max(r, g, b) - min(r, g, b)
+                bins.add(lv // 16)
+        for y in range(h):
+            for x in range(1, w):
+                if abs(luma[y][x] - luma[y][x - 1]) > 16:
+                    edges += 1
+        rows.append(
+            f"('{i}', {h * w}, {s}, {sq}, {sat}, {edges}, {len(bins)})"
+        )
+    return (
+        "SELECT image_id, n_px, luma_sum, luma_sumsq, sat_sum, edge_count, "
+        "luma_bins, "
+        "(luma_sum * 1000 >= 20000 * n_px AND luma_sum * 1000 <= 235000 * n_px"
+        " AND (n_px * luma_sumsq - luma_sum * luma_sum) * 1000 >= 25000 * n_px * n_px"
+        " AND sat_sum * 1000 >= 5000 * n_px"
+        " AND edge_count * 1000 >= 20 * n_px"
+        " AND luma_bins >= 3 AND n_px > 0) AS passes "
+        "FROM (SELECT image_id, CAST(n_px AS BIGINT) AS n_px, "
+        "CAST(luma_sum AS BIGINT) AS luma_sum, "
+        "CAST(luma_sumsq AS BIGINT) AS luma_sumsq, "
+        "CAST(sat_sum AS BIGINT) AS sat_sum, "
+        "CAST(edge_count AS BIGINT) AS edge_count, "
+        "CAST(luma_bins AS INT) AS luma_bins FROM (VALUES " + ", ".join(rows)
+        + ") AS t(image_id, n_px, luma_sum, luma_sumsq, sat_sum, edge_count, "
+        "luma_bins)) ORDER BY image_id"
+    )
+
+
 def _sql_image_resize_thumbs() -> str:
     """Oracle: scalar-loop nearest resize (independently implemented from
     the same public index convention) over the generator's pre-encode
@@ -2950,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         "ann_topk_ivf_batch": _q_ann_ivf_indexed_batch,
+        "ann_topk_pq": _q_ann_pq,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pipeline_dedup_canonical_schedule": _q_pipeline_dedup_canonical,
         "jats_parse_roundtrip": _q_jats_parse,
@@ -2977,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_prep": _q_image_corpus_prep,
         "image_meta_sniff": _q_image_meta_sniff,
         "image_resize_thumbs": _q_image_resize_thumbs,
+        "image_pixel_gate": _q_image_pixel_gate,
         "sample_stratified": _q_sample_stratified,
         "sample_exact_k": _q_sample_exact_k,
         "video_frame_sample": _q_video_frame_sample,
@@ -3046,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "image_corpus_prep": _sql_image_corpus_prep(),
         "image_meta_sniff": _sql_image_meta_sniff(),
         "image_resize_thumbs": _sql_image_resize_thumbs(),
+        "image_pixel_gate": _sql_image_pixel_gate(),
         "sample_stratified": _sql_sample_stratified(),
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "video_frame_sample": _sql_video_frame_sample(),
@@ -3121,6 +3212,10 @@ def _expected_values_oracles() -> dict[str, str]:
             ann_gate,
             ["CAST(? AS BIGINT) AS query_id", "CAST(? AS BIGINT) AS vec_id",
              "CAST(? AS DOUBLE) AS cosine"],
+        ),
+        "ann_topk_pq": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
         ),
         "semantic_dedup_clusters": (
             ann_gate,

@@ -314,6 +314,140 @@ def ann_topk_ivf_indexed(
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+# -------------------------------------------------------- product quantization
+
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Per-subspace deterministic Lloyd's codebooks (Jégou et al., TPAMI'11
+    product quantization). Rows are unit-normalized FIRST (cosine → L2 on
+    the sphere, same argument as the IVF coarse quantizer), then split into
+    ``m`` contiguous subspaces; each subspace trains an independent
+    ``ks``-word codebook with the exact deterministic recipe
+    ``_kmeans_fit`` commits to (init = first ks sub-rows, fixed iteration
+    count, per-centroid distance loop, float64). The oracle generator
+    (tools/gen_expected.ann_pq_expected) replicates this float-for-float —
+    keep the two in lock-step if either changes.
+
+    Returns an (m, ks, D/m) float64 array.
+    """
+    sample = _unit(sample.astype(np.float64))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = []
+    for j in range(m):
+        block = sample[:, j * sub:(j + 1) * sub]
+        k = min(ks, len(block))
+        cb = block[:k].copy()
+        for _ in range(iters):
+            dists = np.stack([((block - c) ** 2).sum(axis=1) for c in cb], axis=1)
+            assign = dists.argmin(axis=1)
+            for c in range(k):
+                members = block[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    return np.stack(books)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed representation: m codeword
+    ids per vector (m bytes at ks ≤ 256) instead of D floats. At 100 TB of
+    float32 embeddings this is the representation the candidate scan reads:
+    D=64/m=8/ks=256 is 256 B → 8 B per row, a 32× I/O reduction on the
+    exhaustive ADC pass. One Arrow-batched BLAS pass, zero shuffle."""
+    books = codebooks.astype(np.float64)
+    m, _, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        mat = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        n = len(mat)
+        codes = np.zeros((n, m), dtype=np.int32)
+        for j in range(m):
+            block = mat[:, j * sub:(j + 1) * sub]
+            dists = np.stack(
+                [((block - c) ** 2).sum(axis=1) for c in books[j]], axis=1
+            )
+            codes[:, j] = dists.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col), encode_udf(F.col(vec_col)).alias("codes")
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 50,
+    train_n: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k: asymmetric distance computation (ADC) over the
+    compressed codes, exact cosine rescore of the top ``rerank`` candidates.
+
+    Plan at scale:
+    1. codebooks train on the same deterministic sample recipe as IVF
+       (first train_n rows by id — tiny justified collect);
+    2. the ADC scan reads ONLY the m-byte codes (32× less I/O than the
+       vectors at m=8 vs D=64 float32): per row, approximate distance =
+       Σ_j table[j][code_j] where table is the (m × ks) query-to-codeword
+       distance table, closed over into one Arrow pass — no shuffle;
+    3. top-``rerank`` by (adc, id) is TakeOrderedAndProject (no full sort);
+    4. only the rerank winners' full vectors are re-read (semi join) for
+       the exact cosine — candidate I/O bounded by rerank, not corpus size.
+
+    Ties at the rerank boundary break on id (stable both here and in the
+    lock-step oracle), so the candidate set is deterministic.
+    """
+    sample_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    books = pq_train_codebooks(sample, m=m, ks=ks)
+    sub = books.shape[2]
+
+    q = _unit(np.asarray(query, dtype=np.float64)[None, :])[0]
+    # ADC table: exact L2² from each query sub-vector to every codeword
+    table = np.stack(
+        [((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+         for j in range(books.shape[0])]
+    )
+
+    codes = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_udf(code_col: pd.Series) -> pd.Series:
+        mat = np.stack(code_col.to_numpy()).astype(np.int64)
+        # fixed left-to-right subspace summation — the oracle folds the
+        # same axis in the same order
+        dist = np.take_along_axis(
+            table, mat.T, axis=1
+        ).sum(axis=0)
+        return pd.Series(dist)
+
+    cand_ids = (
+        codes.select(F.col(id_col), adc_udf(F.col("codes")).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_topk_ivf_indexed_batch(
     spark,
     path: str,

@@ -73,3 +73,52 @@ def test_ann_ivf_recall_vs_bruteforce(emb):
     full = {r["vec_id"] for r in ann_topk_ivf(
         df, query, k=10, n_centroids=8, nprobe=8).collect()}
     assert full == exact
+
+
+def test_pq_encode_shape_and_determinism(emb):
+    df, vecs, _ = emb
+    books = S.pq_train_codebooks(vecs[:100], m=4, ks=8)
+    assert books.shape == (4, 8, DIM // 4)
+    c1 = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(df, books).collect()}
+    c2 = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(df, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 4 and all(0 <= c < 8 for c in v) for v in c1.values())
+
+
+def test_pq_encode_matches_numpy_replica(emb):
+    """Lock-step: the operator's codes equal an independent scalar-loop
+    assignment over the same codebooks."""
+    df, vecs, _ = emb
+    books = S.pq_train_codebooks(vecs[:100], m=4, ks=8)
+    got = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(df, books).collect()}
+    u = vecs.astype(np.float64)
+    u = u / np.linalg.norm(u, axis=1)[:, None]
+    sub = DIM // 4
+    for i in range(len(vecs)):
+        want = []
+        for j in range(4):
+            block = u[i, j * sub:(j + 1) * sub]
+            d = ((books[j] - block) ** 2).sum(axis=1)
+            want.append(int(d.argmin()))
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+def test_ann_pq_recall_vs_bruteforce(emb):
+    """ADC + rerank must recover most of the exact top-10; with rerank
+    covering the whole corpus the result IS brute force (the ADC pass only
+    orders candidates — the rescore is exact)."""
+    query = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(DIM)]
+    df, vecs, _ = emb
+    exact = [r["vec_id"] for r in S.cosine_topk(df, query, k=10).collect()]
+    approx = {r["vec_id"] for r in S.ann_topk_pq(
+        df, query, k=10, m=4, ks=16, rerank=50).collect()}
+    assert len(approx & set(exact)) >= 7, f"PQ recall too low: {approx}"
+    full = [r["vec_id"] for r in S.ann_topk_pq(
+        df, query, k=10, m=4, ks=16, rerank=len(vecs)).collect()]
+    assert full == exact
+
+
+def test_pq_train_rejects_indivisible_dim(emb):
+    _, vecs, _ = emb
+    with pytest.raises(ValueError):
+        S.pq_train_codebooks(vecs[:50], m=5, ks=8)

@@ -409,6 +409,71 @@ def ann_ivf_expected(
     return scored[:k]
 
 
+def ann_pq_expected(
+    vec_ids, mat, query, k=10, m=8, ks=16, rerank=50, train_n=2000, iters=5
+):
+    """PQ ADC top-k: per-subspace deterministic Lloyd's codebooks (init =
+    first ks sub-rows, fixed iters — the float recipe
+    operators/similarity.pq_train_codebooks commits to), ADC lookup-table
+    scan over the codes, exact Spark-fold cosine rescore of the top
+    ``rerank`` candidates (ties at the boundary break on id, both here and
+    in the operator)."""
+    def unit(a):
+        norms = np.sqrt((a ** 2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return a / norms[:, None]
+
+    dim = len(query)
+    sub = dim // m
+    sample = unit(mat[:train_n].astype(np.float64))
+    books = []
+    for j in range(m):
+        block = sample[:, j * sub:(j + 1) * sub]
+        kk = min(ks, len(block))
+        cb = block[:kk].copy()
+        for _ in range(iters):
+            dists = np.stack([((block - c) ** 2).sum(axis=1) for c in cb], axis=1)
+            assign = dists.argmin(axis=1)
+            for c in range(kk):
+                members = block[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    books = np.stack(books)
+
+    mat_u = unit(mat.astype(np.float64))
+    codes = np.zeros((len(vec_ids), m), dtype=np.int64)
+    for j in range(m):
+        block = mat_u[:, j * sub:(j + 1) * sub]
+        dists = np.stack(
+            [((block - c) ** 2).sum(axis=1) for c in books[j]], axis=1
+        )
+        codes[:, j] = dists.argmin(axis=1)
+
+    qu = unit(np.asarray(query, dtype=np.float64)[None, :])[0]
+    table = np.stack(
+        [((books[j] - qu[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+         for j in range(m)]
+    )
+    adc = np.take_along_axis(table, codes.T, axis=1).sum(axis=0)
+    order = sorted(range(len(vec_ids)), key=lambda i: (adc[i], int(vec_ids[i])))
+    cand = order[:rerank]
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(np.dot(q, q)))
+    scored = []
+    for i in cand:
+        v = mat[i]
+        dot = 0.0
+        nrm = 0.0
+        for j in range(dim):
+            dot += v[j] * q[j]
+            nrm += v[j] * v[j]
+        scored.append((int(vec_ids[i]), round_half_up(dot / (np.sqrt(nrm) * qn), 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 def semantic_dedup_expected(
     vec_ids, mat, n_centroids=16, threshold=0.4, train_n=2000, iters=5
 ):
@@ -535,13 +600,35 @@ def ann_ivf_batch_expected(
 
 # ---------------------------------------------------------------- driver
 
-def generate(sf_dirs):
+ALL_KEYS = (
+    "minhash_lsh_pairs", "simhash_pairs", "ann_topk_lsh", "ann_topk_ivf",
+    "ann_topk_ivf_batch", "ann_topk_pq", "dedup_clusters",
+    "semantic_dedup_clusters", "dedup_slice_probe",
+)
+
+
+def generate(sf_dirs, only: set[str] | None = None):
+    """Recompute expectations; with ``only``, recompute just those keys and
+    merge into the existing expected_pairs.json (the text-side expectations
+    take minutes of pure Python at sf0.1 — adding one embedding-side
+    operator must not force a full regeneration)."""
     import duckdb
 
     con = duckdb.connect()
-    out = {"minhash_lsh_pairs": [], "simhash_pairs": [], "ann_topk_lsh": [],
-           "ann_topk_ivf": [], "ann_topk_ivf_batch": [], "dedup_clusters": [],
-           "semantic_dedup_clusters": [], "dedup_slice_probe": []}
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "expected", "expected_pairs.json"
+    )
+    keys = set(only) if only else set(ALL_KEYS)
+    unknown = keys - set(ALL_KEYS)
+    if unknown:
+        raise SystemExit(f"unknown expectation keys: {sorted(unknown)}")
+    out = {k: [] for k in ALL_KEYS}
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        for k, v in prev.items():
+            if k not in keys:
+                out[k] = v
     for sf_dir in sf_dirs:
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -557,26 +644,31 @@ def generate(sf_dirs):
         ).fetchone()[0]
         doc_gate = f"{n_docs}:{sum_chars}"
         print(f"{sf_dir}: {n_docs} docs gate={doc_gate}", flush=True)
-        mh = minhash_expected(ids, texts)
-        print(f"  minhash pairs: {len(mh)}", flush=True)
-        sh = simhash_expected(ids, texts)
-        print(f"  simhash pairs: {len(sh)}", flush=True)
-        out["minhash_lsh_pairs"].append(
-            {"gate": doc_gate, "rows": [[a, b, j] for a, b, j in mh]}
-        )
-        out["simhash_pairs"].append(
-            {"gate": doc_gate, "rows": [[a, b, h] for a, b, h in sh]}
-        )
-        cl = clusters_expected(mh)
-        print(f"  clusters: {len(cl)} members", flush=True)
-        out["dedup_clusters"].append(
-            {"gate": doc_gate, "rows": [[i, c, s] for i, c, s in cl]}
-        )
-        sp = slice_probe_expected(ids, texts)
-        print(f"  slice-probe rows: {len(sp)}", flush=True)
-        out["dedup_slice_probe"].append(
-            {"gate": doc_gate, "rows": [[a, b, e] for a, b, e in sp]}
-        )
+        if keys & {"minhash_lsh_pairs", "dedup_clusters"}:
+            mh = minhash_expected(ids, texts)
+            print(f"  minhash pairs: {len(mh)}", flush=True)
+        if "minhash_lsh_pairs" in keys:
+            out["minhash_lsh_pairs"].append(
+                {"gate": doc_gate, "rows": [[a, b, j] for a, b, j in mh]}
+            )
+        if "simhash_pairs" in keys:
+            sh = simhash_expected(ids, texts)
+            print(f"  simhash pairs: {len(sh)}", flush=True)
+            out["simhash_pairs"].append(
+                {"gate": doc_gate, "rows": [[a, b, h] for a, b, h in sh]}
+            )
+        if "dedup_clusters" in keys:
+            cl = clusters_expected(mh)
+            print(f"  clusters: {len(cl)} members", flush=True)
+            out["dedup_clusters"].append(
+                {"gate": doc_gate, "rows": [[i, c, s] for i, c, s in cl]}
+            )
+        if "dedup_slice_probe" in keys:
+            sp = slice_probe_expected(ids, texts)
+            print(f"  slice-probe rows: {len(sp)}", flush=True)
+            out["dedup_slice_probe"].append(
+                {"gate": doc_gate, "rows": [[a, b, e] for a, b, e in sp]}
+            )
 
         emb = con.execute(
             f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
@@ -584,27 +676,35 @@ def generate(sf_dirs):
         vec_ids = [r[0] for r in emb]
         mat = np.array([r[1] for r in emb], dtype=np.float64)
         query = [((i * 37 + 11) % 19 - 9) / 10.0 for i in range(mat.shape[1])]
-        ann = ann_lsh_expected(vec_ids, mat, query)
-        print(f"  ann rows: {len(ann)} over {len(vec_ids)} vectors", flush=True)
-        out["ann_topk_lsh"].append(
-            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ann]}
-        )
-        ivf = ann_ivf_expected(vec_ids, mat, query)
-        print(f"  ivf rows: {len(ivf)}", flush=True)
-        out["ann_topk_ivf"].append(
-            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[v, c] for v, c in ivf]}
-        )
-        ivfb = ann_ivf_batch_expected(vec_ids, mat)
-        print(f"  ivf batch rows: {len(ivfb)}", flush=True)
-        out["ann_topk_ivf_batch"].append(
-            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": ivfb}
-        )
-        sd = semantic_dedup_expected(vec_ids, mat)
-        print(f"  semantic dedup members: {len(sd)}", flush=True)
-        out["semantic_dedup_clusters"].append(
-            {"gate": f"{len(vec_ids)}:{sum_chars}", "rows": [[i, c, s] for i, c, s in sd]}
-        )
-    path = os.path.join(os.path.dirname(__file__), "..", "expected", "expected_pairs.json")
+        vec_gate = f"{len(vec_ids)}:{sum_chars}"
+        if "ann_topk_lsh" in keys:
+            ann = ann_lsh_expected(vec_ids, mat, query)
+            print(f"  ann rows: {len(ann)} over {len(vec_ids)} vectors", flush=True)
+            out["ann_topk_lsh"].append(
+                {"gate": vec_gate, "rows": [[v, c] for v, c in ann]}
+            )
+        if "ann_topk_ivf" in keys:
+            ivf = ann_ivf_expected(vec_ids, mat, query)
+            print(f"  ivf rows: {len(ivf)}", flush=True)
+            out["ann_topk_ivf"].append(
+                {"gate": vec_gate, "rows": [[v, c] for v, c in ivf]}
+            )
+        if "ann_topk_ivf_batch" in keys:
+            ivfb = ann_ivf_batch_expected(vec_ids, mat)
+            print(f"  ivf batch rows: {len(ivfb)}", flush=True)
+            out["ann_topk_ivf_batch"].append({"gate": vec_gate, "rows": ivfb})
+        if "ann_topk_pq" in keys:
+            pq = ann_pq_expected(vec_ids, mat, query)
+            print(f"  pq rows: {len(pq)}", flush=True)
+            out["ann_topk_pq"].append(
+                {"gate": vec_gate, "rows": [[v, c] for v, c in pq]}
+            )
+        if "semantic_dedup_clusters" in keys:
+            sd = semantic_dedup_expected(vec_ids, mat)
+            print(f"  semantic dedup members: {len(sd)}", flush=True)
+            out["semantic_dedup_clusters"].append(
+                {"gate": vec_gate, "rows": [[i, c, s] for i, c, s in sd]}
+            )
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
@@ -612,9 +712,15 @@ def generate(sf_dirs):
 
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    dirs = argv or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
-    generate(dirs)
+    generate(dirs, only=only)
