@@ -39,10 +39,13 @@ wave N:
                  baseline committed). Bloom shards follow the same shape:
                  per-wave deltas of ONLY the shards touched by this wave's
                  admissions, reconstructed last-writer-wins per shard on
-                 read/resume — never a full P-shard rewrite. url_seen delta
-                 (bucketed by the confirm-join key) / fetched log /
-                 failed log / metrics unchanged; atomic manifest = resume
-                 point [C7]
+                 read/resume — never a full P-shard rewrite. url_seen is the
+                 same shape: bucketed O(new) appends per wave, folded into a
+                 baseline (live view, first_wave epochs preserved) on the
+                 compaction cadence so its partition listing — and the
+                 expiry-tombstone log's — stays bounded by compact_every,
+                 not crawl history. fetched log / failed log / metrics are
+                 plain per-wave appends; atomic manifest = resume point [C7]
 
 Crawl-order contract (must equal the pure-Python reference simulator):
 ``ORDER BY wave, priority DESC, host, seq``.
@@ -160,6 +163,15 @@ class CrawlEngine:
         self.compact_every = compact_every
         self._frontier_base = 0
         self._gc_done_base = 0
+        # url_seen compacts on the same cadence: its append log (and the
+        # expiry-tombstone log) otherwise accumulates one partition per wave
+        # FOREVER on a standing crawl — the read stays O(live) rows but the
+        # file/partition listing grows O(waves). The compaction wave folds
+        # the LIVE view (appends minus tombstones, first_wave preserved so
+        # future expiry epochs still compare correctly) into one baseline
+        # partition at w=wave+1; pre-base partitions and tombstones are
+        # unreadable after the baseline commits and GC next wave.
+        self._seen_base = 0
 
     # ------------------------------------------------------------- seeding
     def _seed_raw(self, seed_rows) -> DataFrame:
@@ -231,14 +243,18 @@ class CrawlEngine:
         Both sides are bucketed by exactly (url_hash, canonical_url), so
         the anti-join plans zero Exchange; the epoch inequality rides
         along as a join filter. When no expiry ever happened the view is
-        the plain append log (no tombstone table, no extra join)."""
-        seen = self.store.read_bucketed_deltas(
-            self.spark, "url_seen", up_to_wave
+        the plain append log (no tombstone table, no extra join).
+
+        Reads start at the compaction baseline (``_seen_base``): the
+        baseline partition carries the folded live view, so older
+        partitions — GC'd one wave later — must not be re-read."""
+        seen = self.store.read_bucketed_deltas_range(
+            self.spark, "url_seen", self._seen_base, up_to_wave
         )
         if not self.store.has_bucketed("seen_tombstones"):
             return seen
-        tombs = self.store.read_bucketed_deltas(
-            self.spark, "seen_tombstones", up_to_wave
+        tombs = self.store.read_bucketed_deltas_range(
+            self.spark, "seen_tombstones", self._seen_base, up_to_wave
         )
         cond = (
             (seen["url_hash"] == tombs["url_hash"])
@@ -271,9 +287,9 @@ class CrawlEngine:
         last = self.store.latest_wave()
         if last is None:
             return False
-        self._frontier_base = int(
-            self.store.manifest(last).get("frontier_base", 0)
-        )
+        man = self.store.manifest(last)
+        self._frontier_base = int(man.get("frontier_base", 0))
+        self._seen_base = int(man.get("seen_base", 0))
         self.url_seen = self._read_seen(last + 1)
         self.bloom_shards = self._read_bloom(last + 1)
         self.next_wave = last + 1
@@ -344,6 +360,7 @@ class CrawlEngine:
             wave, {},
             extra={
                 "frontier_base": self._frontier_base,
+                "seen_base": self._seen_base,
                 "maintenance": "expire", "expired": n,
             },
         )
@@ -421,6 +438,7 @@ class CrawlEngine:
             wave, {},
             extra={
                 "frontier_base": self._frontier_base,
+                "seen_base": self._seen_base,
                 "maintenance": "enqueue", "enqueued": n,
             },
         )
@@ -525,6 +543,16 @@ class CrawlEngine:
             self.store.drop_delta_partitions_below(
                 "bloom_log", self._frontier_base
             )
+            # url_seen + expiry tombstones below the committed seen baseline
+            # are superseded by the folded live view — same snapshot
+            # invariant, same one-wave-later GC discipline
+            self.store.drop_bucketed_partitions_below(
+                self.spark, "url_seen", self._seen_base
+            )
+            if self.store.has_bucketed("seen_tombstones"):
+                self.store.drop_bucketed_partitions_below(
+                    self.spark, "seen_tombstones", self._seen_base
+                )
             # the LWW view read at last wave's end is CACHED LAZILY — its
             # file listing still names the deltas just dropped; rebuild it
             # over the surviving baseline+deltas (identical content by the
@@ -638,6 +666,21 @@ class CrawlEngine:
                 "partition_id"
             ),
         )
+        seen_out = seen_delta
+        new_seen_base = self._seen_base
+        if new_base > self._frontier_base:
+            # compaction wave: fold the LIVE seen view (appends minus expiry
+            # tombstones through wave) plus this wave's admissions into ONE
+            # baseline partition — first_wave preserved so future expiry
+            # tombstones (tomb_wave ≥ first_wave) still apply in order.
+            # Eagerly materialized BEFORE the write: the fold reads the very
+            # catalog table the write appends to, and the checkpoint barrier
+            # decouples the two (self.url_seen is the view read at wave
+            # start — pre-this-wave state, exactly what must fold).
+            seen_out = self.url_seen.unionByName(seen_delta).localCheckpoint(
+                eager=True
+            )
+            new_seen_base = wave + 1
 
         # The five delta writes are INDEPENDENT jobs over already-cached
         # inputs (the counts above materialized every cache), and each is
@@ -653,7 +696,7 @@ class CrawlEngine:
                 self.frontier_buckets,
             ),
             lambda: self.store.append_delta_bucketed(
-                "url_seen", wave + 1, seen_delta, SEEN_BUCKET_COLS,
+                "url_seen", wave + 1, seen_out, SEEN_BUCKET_COLS,
                 self.seen_buckets,
             ),
             # fetched history: per-wave append log — crawl_order() reads ALL
@@ -762,10 +805,11 @@ class CrawlEngine:
             {},
             extra={
                 "scheduled": n_sched, "fetched": n_fetched, "new": n_new,
-                "frontier_base": new_base,
+                "frontier_base": new_base, "seen_base": new_seen_base,
             },
         )
         self._frontier_base = new_base
+        self._seen_base = new_seen_base
         queued.unpersist()
         scheduled.unpersist()
         fetch.unpersist()

@@ -349,6 +349,15 @@ def test_compaction_preserves_golden_and_gcs_logs(spark, tmp_path, sim_result):
         .select("shard_id").distinct().count()
     )
     assert n_shards == 4, "compaction must snapshot EVERY shard"
+    # url_seen compacts on the same cadence: the live view folded into the
+    # w=base baseline, pre-base append partitions GC'd — the partition
+    # listing stays bounded by compact_every, not crawl history
+    assert eng._seen_base == 3
+    seen_waves = {
+        int(p.name.split("=")[1])
+        for p in (store.base / "url_seen").glob("w=*")
+    }
+    assert min(seen_waves) >= 3, f"seen deltas not GC'd: {seen_waves}"
 
     # kill → resume → finish: still golden
     eng2 = CrawlEngine(

@@ -178,3 +178,53 @@ def test_seen_view_antijoin_no_exchange_after_expiry(spark, tmp_path):
     assert store.table_name("seen_tombstones") in plan
     assert plan.count("Bucketed: true") == 2, plan
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_expiry_recrawl_under_compaction(spark, tmp_path, sim_result):
+    """Expire → re-enqueue → recrawl with compact_every small enough that
+    the SEEN log compacts mid-recrawl: the baseline fold must preserve
+    first_wave epochs (re-admitted rows survive their old tombstone), the
+    tombstone/append partitions below the baseline must GC, and the
+    refetched set must still be exactly the expired one."""
+    store = SnapshotStore(tmp_path / "ckpt_exp_compact")
+    site = build_site()
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        num_bloom_shards=4,
+        seen_filter="cuckoo",
+        compact_every=3,
+    )
+    eng.seed(seeds())
+    eng.run(max_waves=100)
+    base_order = _order(eng)
+    assert base_order == sim_result.fetch_order
+    base_seen = _seen(eng)
+    victims = _victims(base_seen)
+
+    vdf = spark.createDataFrame([(u,) for u in victims], "canonical_url string")
+    assert eng.expire_seen(vdf) == 11
+    search3 = next(u for u in victims if "search" in u)
+    assert eng.enqueue([(search3, 0, PRI_SEARCH_BASE - 3)]) == 1
+
+    eng.run(max_waves=50)
+    new_order = _order(eng)
+    assert new_order[: len(base_order)] == base_order
+    assert sorted(new_order[len(base_order):]) == sorted(victims)
+    assert _seen(eng) == base_seen, "url_seen must converge back"
+    # the recrawl spans ≥3 waves → at least one compaction ran after the
+    # expiry; pre-base seen/tombstone partitions must be gone
+    assert eng._seen_base > 0
+    seen_waves = {
+        int(p.name.split("=")[1])
+        for p in (store.base / "url_seen").glob("w=*")
+    }
+    assert min(seen_waves) >= eng._seen_base - 1  # ≤1 wave of GC lag
+    tomb_dir = store.base / "seen_tombstones"
+    if tomb_dir.exists():
+        tomb_waves = {
+            int(p.name.split("=")[1]) for p in tomb_dir.glob("w=*")
+        }
+        assert not tomb_waves or min(tomb_waves) >= eng._seen_base - 1
