@@ -2911,6 +2911,82 @@ FROM p WHERE n > 0 ORDER BY doc_id, copy_id
 """
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def _q_frontier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-structure frontier re-prioritization (`operators/graphrank.py`):
+    PageRank over a deterministic pseudo-web derived from the documents
+    table — each non-dangling doc links to 2-3 modular-arithmetic targets,
+    docs with doc_id % 7 == 0 emit nothing (dangling, exercising the mass
+    redistribution). Fixed 5 power-iteration rounds so the DuckDB twin can
+    unroll the identical recurrence. The reference crawls in sitemap order
+    only; this is the Cho/Garcia-Molina/Page (WWW'98) importance-ordered
+    crawling signal a web-scale frontier re-scores with between waves."""
+    from review_crawler_spark.operators.graphrank import pagerank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    src = F.col("doc_id").alias("src")
+    edges = (
+        base.select(src, ((F.col("doc_id") * 131 + 7) % n_docs).alias("dst"))
+        .unionByName(
+            base.select(src, ((F.col("doc_id") * 31 + 3) % n_docs).alias("dst"))
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 3 == 0).select(
+                src, ((F.col("doc_id") * 17 + 11) % n_docs).alias("dst")
+            )
+        )
+    )
+    return pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS).orderBy("node")
+
+
+def _sql_frontier_pagerank() -> str:
+    """DuckDB twin: the same edge derivation, then the pagerank recurrence
+    unrolled _PR_ITERS times as chained CTEs (fixed iteration count is what
+    makes the operator SQL-expressible)."""
+    d = _PR_DAMP
+    parts = [
+        """
+WITH edges AS (
+  SELECT doc_id AS src,
+         (doc_id*131+7) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*31+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*17+11) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d USING (src)),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS node, sum(r.pr / e.deg) AS contrib
+         FROM ed e JOIN r{k - 1} r ON e.src = r.node GROUP BY e.dst),
+m{k} AS (SELECT coalesce(sum(pr), 0) AS mass FROM r{k - 1}
+         WHERE node NOT IN (SELECT src FROM outdeg)),
+r{k} AS (SELECT n.node,
+                (1-{d})/nn.n + {d}*(coalesce(c.contrib, 0) + m.mass/nn.n)
+                  AS pr
+         FROM nodes n CROSS JOIN nn CROSS JOIN m{k} m
+         LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    parts.append(f"\nSELECT node, pr FROM r{_PR_ITERS} ORDER BY node")
+    return "".join(parts)
+
+
 _SHARD_TARGET = 8192
 
 
@@ -3081,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": _q_shard_pack,
         "image_aspect_batches": _q_image_aspect_batches,
         "mix_upsample": _q_mix_upsample,
+        "frontier_pagerank": _q_frontier_pagerank,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
     }
 
@@ -3151,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_pack": _SQL_SHARD_PACK,
         "image_aspect_batches": _sql_image_aspect_batches(),
         "mix_upsample": _sql_mix_upsample(),
+        "frontier_pagerank": _sql_frontier_pagerank(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
         # minhash_lsh_pairs / simhash_pairs / ann_topk_lsh depend on hashes
         # DuckDB can't compute (Spark xxhash64 chain, FNV-1a, seeded numpy

@@ -168,6 +168,48 @@ AUDITED = {
         "verdict dim returns via BroadcastHashJoin — the corpus side "
         "never exchanges"
     ),
+    "ann_topk_pq": (
+        "ADC pass reads only the m-byte codes (one Arrow batch, no "
+        "shuffle); top-rerank candidates via TakeOrderedAndProject on "
+        "(adc, id) — no full sort; only the rerank winners' vectors are "
+        "re-read through a broadcast left-semi join before the exact "
+        "cosine JVM fold"
+    ),
+    "dedup_spans": (
+        "gram text hashed with xxhash64 inside the scan projection "
+        "(corpus bytes never shuffle); ONE window Exchange on gram_hash "
+        "carrying (hash, doc_id, pos) serves both the corpus-wide count "
+        "and keep-first row_number; the islands merge exchanges only "
+        "MARKED positions keyed by doc_id"
+    ),
+    "dedup_span_strip": (
+        "same single gram_hash Exchange as dedup_spans; the per-doc span "
+        "dim (aggregated from <<1% of positions) returns via "
+        "BroadcastHashJoin into the corpus scan; reconstruction is a JVM "
+        "higher-order transform/filter over the token array — the corpus "
+        "side never exchanges"
+    ),
+    "image_pixel_gate": (
+        "one mapInPandas decode+stats pass (Arrow-batched) over "
+        "(image_id, bytes) only; verdict thresholds are codegen "
+        "integer-milli comparisons; the ONLY Exchange is the "
+        "deterministic output sort — no shuffle in the gate itself"
+    ),
+    "frontier_pagerank": (
+        "returned plan = the LAST power iteration (earlier rounds pinned "
+        "behind Scan ExistingRDD leaves): exactly two data-sized "
+        "Exchanges — edges⋈ranks keyed src and the contribution agg "
+        "keyed dst, both with map-side partial sums; dangling mass "
+        "returns via crossJoin(BroadcastExchange) of a 1-row aggregate — "
+        "no driver round-trip inside the loop"
+    ),
+    "mix_upsample": (
+        "mix factors are compile-time CASE literals — no counts agg, no "
+        "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
+        "in the scan stage; fractional remainder picked by a "
+        "deterministic md5 comparison in codegen; the ONLY Exchange is "
+        "the output sort — a cluster resize replays the identical corpus"
+    ),
 }
 
 
