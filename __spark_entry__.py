@@ -902,6 +902,52 @@ def _q_ann_ivf_indexed_batch(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine")
 
 
+def _ensure_ivfpq_index(spark, sf_dir) -> str:
+    """Build-once persisted IVF-PQ index for sf_dir; cache key = CONTENT
+    fingerprint (path + size + mtime of the source parquet), same
+    invalidation rule as the IVF and MinHash indexes."""
+    import hashlib as _h
+    import os as _os
+
+    from review_crawler_spark.operators.similarity import write_ivfpq_index
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    key = _h.md5(
+        f"{sf_dir.rstrip('/')}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/ivfpq_index_{key}"
+    if not _os.path.exists(_os.path.join(path, "_ivfpq.json")):
+        write_ivfpq_index(load(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+def _q_ann_ivfpq_batch(spark, sf_dir):
+    """IVF-PQ batch probe — the full billion-scale ANN read path (Jégou
+    TPAMI'11 §IV): coarse quantizer routes to parquet-partitioned inverted
+    lists; within each list vectors are m-byte PQ codes of their RESIDUAL
+    (smaller variance → better quantization at equal bytes). The batch
+    query assigns probes in one Arrow pass, scans ONLY (id, codes) of the
+    probed partitions (partition + column pruning), ADC-scores, reranks
+    top candidates with the exact cosine on just the winners' raw
+    vectors. Queries = the 3 smallest vec_ids' own embeddings; oracle =
+    pure-Python lock-step replica
+    (tools/gen_expected.ann_ivfpq_batch_expected)."""
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed_batch,
+    )
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_topk_ivfpq_indexed_batch(
+        spark, path, queries, k=10, nprobe=4, rerank=50
+    ).select("query_id", "vec_id", "cosine")
+
+
 def _q_dedup_clusters_star(spark, sf_dir):
     """dedup_clusters with the large-star/small-star components engine —
     the O(log² n)-round path for adversarial cluster topologies; identical
@@ -3114,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         "ann_topk_ivf_batch": _q_ann_ivf_indexed_batch,
+        "ann_topk_ivfpq_batch": _q_ann_ivfpq_batch,
         "ann_topk_pq": _q_ann_pq,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pipeline_dedup_canonical_schedule": _q_pipeline_dedup_canonical,
@@ -3294,6 +3341,11 @@ def _expected_values_oracles() -> dict[str, str]:
         "ann_topk_pq": (
             ann_gate,
             ["CAST(? AS BIGINT) AS vec_id", "CAST(? AS DOUBLE) AS cosine"],
+        ),
+        "ann_topk_ivfpq_batch": (
+            ann_gate,
+            ["CAST(? AS BIGINT) AS query_id", "CAST(? AS BIGINT) AS vec_id",
+             "CAST(? AS DOUBLE) AS cosine"],
         ),
         "semantic_dedup_clusters": (
             ann_gate,

@@ -468,6 +468,9 @@ def run_bench(cpus: int) -> dict:
         "ann_topk_ivf_batch": round(bench_query(spark, "ann_topk_ivf_batch"), 3),
         "ann_topk_pq": round(bench_query(spark, "ann_topk_pq"), 3),
         "frontier_pagerank": round(bench_query(spark, "frontier_pagerank"), 3),
+        "ann_topk_ivfpq_batch": round(
+            bench_query(spark, "ann_topk_ivfpq_batch"), 3
+        ),
         "pipeline_dedup_canonical_schedule": round(
             bench_query(spark, "pipeline_dedup_canonical_schedule"), 3
         ),

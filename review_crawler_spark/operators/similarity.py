@@ -317,7 +317,8 @@ def ann_topk_ivf_indexed(
 # -------------------------------------------------------- product quantization
 
 def pq_train_codebooks(
-    sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 5
+    sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 5,
+    unit_rows: bool = True,
 ) -> np.ndarray:
     """Per-subspace deterministic Lloyd's codebooks (Jégou et al., TPAMI'11
     product quantization). Rows are unit-normalized FIRST (cosine → L2 on
@@ -329,9 +330,15 @@ def pq_train_codebooks(
     (tools/gen_expected.ann_pq_expected) replicates this float-for-float —
     keep the two in lock-step if either changes.
 
+    With ``unit_rows=False`` the rows are taken as-is — the IVF-PQ path
+    trains on RESIDUALS (vector minus its coarse centroid), which are not
+    unit vectors and must not be re-normalized.
+
     Returns an (m, ks, D/m) float64 array.
     """
-    sample = _unit(sample.astype(np.float64))
+    sample = sample.astype(np.float64)
+    if unit_rows:
+        sample = _unit(sample)
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -528,6 +535,249 @@ def ann_topk_ivf_indexed_batch(
     )
     return (
         scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_n: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize an IVF-PQ index (Jégou et al. TPAMI'11 §IV) — the
+    composition that serves billion-vector search in production systems:
+    a coarse spherical quantizer routes each vector to an inverted list
+    (parquet partition), and within the list the vector is stored as m
+    PQ codes of its RESIDUAL (unit vector minus its coarse centroid).
+    Residuals have far smaller variance than raw vectors, so the same
+    codebook budget quantizes them much more accurately — that is the
+    reason IVF-PQ beats flat PQ at equal bytes.
+
+    Layout: parquet PARTITIONED BY bucket with columns
+    (id, codes array<int>, raw vector); sidecar ``_ivfpq.json`` carries
+    centroids + codebooks. The ADC scan reads ONLY (id, codes) via column
+    pruning — m bytes/row instead of D floats — and only the probed
+    partitions via partition pruning; the raw vector column is touched
+    just for the rerank winners.
+
+    Training is deterministic end-to-end (first ``train_n`` rows by id →
+    `_kmeans_fit` coarse centroids → the SAME sample's residuals →
+    per-subspace Lloyd via ``pq_train_codebooks(unit_rows=False)``), so
+    the whole index is reproducible and the oracle generator
+    (tools/gen_expected.ann_ivfpq_batch_expected) replicates it
+    float-for-float.
+    """
+    import json
+    import os
+
+    sample_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_fit(sample, n_centroids)
+
+    sample_u = _unit(sample)
+    sd = np.stack(
+        [((sample_u - c) ** 2).sum(axis=1) for c in centroids], axis=1
+    )
+    sample_resid = sample_u - centroids[sd.argmin(axis=1)]
+    books = pq_train_codebooks(
+        sample_resid, m=m, ks=ks, unit_rows=False
+    )
+    cent = centroids.astype(np.float64)
+    bks = books.astype(np.float64)
+    mm, _, sub = bks.shape
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
+        mat = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        dists = np.stack([((mat - c) ** 2).sum(axis=1) for c in cent], axis=1)
+        buckets = dists.argmin(axis=1)
+        resid = mat - cent[buckets]
+        codes = np.zeros((len(mat), mm), dtype=np.int32)
+        for j in range(mm):
+            block = resid[:, j * sub:(j + 1) * sub]
+            dd = np.stack(
+                [((block - c) ** 2).sum(axis=1) for c in bks[j]], axis=1
+            )
+            codes[:, j] = dd.argmin(axis=1)
+        return pd.DataFrame(
+            {"bucket": buckets.astype(np.int32), "codes": list(codes)}
+        )
+
+    (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), encode_udf(F.col(vec_col)).alias("_e")
+        )
+        .select(id_col, vec_col, F.col("_e.bucket").alias("bucket"),
+                F.col("_e.codes").alias("codes"))
+        .repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    sidecar = os.path.join(path, "_ivfpq.json")
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"centroids": centroids.tolist(), "codebooks": books.tolist()}, f
+        )
+    os.rename(tmp, sidecar)
+    return centroids, books
+
+
+def ann_topk_ivfpq_indexed_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch multi-query top-k over a persisted IVF-PQ index — the full
+    billion-scale ANN read path:
+
+    1. probe assignment: one Arrow pass over the QUERY table emits, per
+       query, its nprobe nearest lists AND the query's residual w.r.t.
+       each probed centroid (ADC under residual encoding compares the
+       query residual against the stored code, both relative to the SAME
+       list centroid);
+    2. index scan: static partition pruning to the union of probed
+       buckets; ReadSchema = (id, codes) — the m-byte codes, not the
+       D-float vectors (column pruning gives the 32× I/O cut);
+    3. ADC: one vectorized Arrow pass per (query, candidate) row —
+       decoded = codebook[j][code_j], adc = Σ_j ‖resid_j − decoded_j‖²;
+    4. per-query top-``rerank`` by (adc, id) — window row_number, ties on
+       id (stable in the lock-step oracle too);
+    5. exact rescore: ONLY the winners' raw vectors are re-read from the
+       probed partitions (semi join on id), exact cosine JVM fold,
+       per-query top-k.
+
+    Returns (query_id, vec_id, cosine), k rows per query.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "_ivfpq.json")) as f:
+        side = json.load(f)
+    centroids = np.asarray(side["centroids"], dtype=np.float64)
+    books = np.asarray(side["codebooks"], dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+    mm, _, sub = books.shape
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("bucket", T.IntegerType()),
+                    T.StructField("resid", T.ArrayType(T.DoubleType())),
+                ]
+            )
+        )
+    )
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        dists = np.stack(
+            [((mat - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        order = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+        out = []
+        for i in range(len(mat)):
+            out.append(
+                [
+                    {
+                        "bucket": int(b),
+                        "resid": (mat[i] - centroids[b]).tolist(),
+                    }
+                    for b in order[i]
+                ]
+            )
+        return pd.Series(out)
+
+    # cached: consumed by the tiny bucket-union collect AND the ADC join
+    probed = (
+        queries.select(
+            F.col(query_id_col),
+            _as_double(query_vec_col).alias("_qv"),
+            F.explode(probe_udf(F.col(query_vec_col))).alias("_p"),
+        )
+        .select(
+            query_id_col,
+            "_qv",
+            F.col("_p.bucket").alias("bucket"),
+            F.col("_p.resid").alias("_resid"),
+        )
+        .cache()
+    )
+    bucket_ids = sorted(
+        r["bucket"] for r in probed.select("bucket").distinct().collect()
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_udf(codes: pd.Series, resid: pd.Series) -> pd.Series:
+        cd = np.stack(codes.to_numpy()).astype(np.int64)
+        rs = np.stack(resid.to_numpy()).astype(np.float64)
+        dist = np.zeros(len(cd))
+        for j in range(mm):
+            decoded = books[j][cd[:, j]]
+            diff = rs[:, j * sub:(j + 1) * sub] - decoded
+            dist += (diff ** 2).sum(axis=1)
+        return pd.Series(dist)
+
+    index = spark.read.parquet(path).filter(F.col("bucket").isin(bucket_ids))
+    scored = index.select(id_col, "codes", "bucket").join(
+        probed, "bucket"
+    ).select(
+        query_id_col,
+        id_col,
+        "_qv",
+        adc_udf(F.col("codes"), F.col("_resid")).alias("adc"),
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc"), F.asc(id_col)
+    )
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= rerank)
+        .select(query_id_col, id_col, "_qv")
+    )
+    vecs = spark.read.parquet(path).filter(
+        F.col("bucket").isin(bucket_ids)
+    ).select(id_col, vec_col)
+    v = _as_double(vec_col)
+    exact = cand.join(vecs, id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            _dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv"))), 6
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        exact.withColumn("_rk", F.row_number().over(wk))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )

@@ -131,3 +131,99 @@ def test_batch_probe_exhaustive_equals_brute_force(spark, tmp_path):
             ).collect()
         ]
         assert got[qr["query_id"]] == brute
+
+
+def test_ivfpq_rerank_full_equals_exact_and_prunes(spark, tmp_path):
+    """IVF-PQ with nprobe=all lists and rerank=corpus must return exactly
+    the brute-force top-k (PQ only orders the candidate funnel; the final
+    scores are the exact cosine). With a small nprobe the plan must show
+    a bucket partition filter and a codes-only ReadSchema on the ADC scan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed_batch,
+        cosine_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, n_centroids=8, m=8, ks=16, train_n=2000)
+
+    queries = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = ann_topk_ivfpq_indexed_batch(
+        spark, path, queries, k=5, nprobe=8, rerank=n
+    )
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 6))
+        )
+    for qr in queries.collect():
+        exact = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in cosine_topk(
+                emb, [float(x) for x in qr["query_vec"]], k=5
+            ).collect()
+        ]
+        assert got[qr["query_id"]] == exact, qr["query_id"]
+
+    pruned = ann_topk_ivfpq_indexed_batch(
+        spark, path, queries, k=5, nprobe=2, rerank=20
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # the ADC scan must NOT read the raw vectors — codes only
+    scans = [seg for seg in plan.split("ReadSchema: ")[1:]]
+    adc_scans = [s for s in scans if "codes" in s.split("\n", 1)[0]]
+    assert adc_scans, plan
+    assert all(
+        "embedding" not in s.split("\n", 1)[0] for s in adc_scans
+    ), "ADC scan reads raw vectors"
+
+
+def test_ivfpq_recall_against_bruteforce(spark, tmp_path):
+    """nprobe=4-of-8, rerank=50: recall@10 over 3 queries should be high
+    (the funnel keeps the true neighbors) — pinned at >= 0.8."""
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.operators.similarity import (
+        ann_topk_ivfpq_indexed_batch,
+        cosine_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_r")
+    write_ivfpq_index(emb, path, n_centroids=8, m=8, ks=16, train_n=2000)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = {}
+    for r in ann_topk_ivfpq_indexed_batch(
+        spark, path, queries, k=10, nprobe=4, rerank=50
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qr in queries.collect():
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk(
+                emb, [float(x) for x in qr["query_vec"]], k=10
+            ).collect()
+        }
+        hits += len(exact & approx[qr["query_id"]])
+        total += len(exact)
+    assert hits / total >= 0.8, f"recall {hits}/{total}"

@@ -195,6 +195,14 @@ AUDITED = {
         "integer-milli comparisons; the ONLY Exchange is the "
         "deterministic output sort — no shuffle in the gate itself"
     ),
+    "ann_topk_ivfpq_batch": (
+        "ADC scan partition-pruned to the union of probed buckets AND "
+        "column-pruned to (id, codes) — ReadSchema must not name the "
+        "vector column; probe assignment + residuals in one Arrow pass "
+        "over the query table; per-query top-rerank window; only the "
+        "winners' raw vectors re-read (second pruned scan) for the exact "
+        "cosine JVM fold"
+    ),
     "frontier_pagerank": (
         "returned plan = the LAST power iteration (earlier rounds pinned "
         "behind Scan ExistingRDD leaves): exactly two data-sized "

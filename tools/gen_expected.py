@@ -598,12 +598,114 @@ def ann_ivf_batch_expected(
     return rows
 
 
+def ann_ivfpq_batch_expected(
+    vec_ids, mat, n_queries=3, k=10, n_centroids=16, nprobe=4, rerank=50,
+    m=8, ks=16, train_n=2000, iters=5,
+):
+    """Batch IVF-PQ probe expectation — lock-step with
+    operators/similarity.write_ivfpq_index + ann_topk_ivfpq_indexed_batch:
+    identical coarse quantizer fit, PQ codebooks trained on the SAMPLE's
+    residuals (init = first ks sub-rows, fixed iters, NO row
+    normalization), residual codes for every vector, per-query ADC =
+    Σ_j ‖(qu − c_b)_j − book_j[code_j]‖² over probed buckets, top-rerank
+    by (adc, id), exact all-sequential-fold cosine rescore, top-k by
+    (-cos, id). Queries are the first n_queries rows."""
+    def unit(a):
+        norms = np.sqrt((a ** 2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return a / norms[:, None]
+
+    sample = unit(mat[:train_n].astype(np.float64))
+    n_centroids = min(n_centroids, len(sample))
+    centroids = sample[:n_centroids].copy()
+    for _ in range(iters):
+        dists = np.stack(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+
+    dim = mat.shape[1]
+    sub = dim // m
+    sd = np.stack([((sample - c) ** 2).sum(axis=1) for c in centroids], axis=1)
+    sample_resid = sample - centroids[sd.argmin(axis=1)]
+    books = []
+    for j in range(m):
+        block = sample_resid[:, j * sub:(j + 1) * sub]
+        kk = min(ks, len(block))
+        cb = block[:kk].copy()
+        for _ in range(iters):
+            dd = np.stack([((block - c) ** 2).sum(axis=1) for c in cb], axis=1)
+            assign = dd.argmin(axis=1)
+            for c in range(kk):
+                members = block[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    books = np.stack(books)
+
+    mat_u = unit(mat.astype(np.float64))
+    all_d = np.stack([((mat_u - c) ** 2).sum(axis=1) for c in centroids], axis=1)
+    buckets = all_d.argmin(axis=1)
+    resid = mat_u - centroids[buckets]
+    codes = np.zeros((len(vec_ids), m), dtype=np.int64)
+    for j in range(m):
+        block = resid[:, j * sub:(j + 1) * sub]
+        dd = np.stack([((block - c) ** 2).sum(axis=1) for c in books[j]], axis=1)
+        codes[:, j] = dd.argmin(axis=1)
+
+    def seq_fold_dot(a, b):
+        acc = 0.0
+        for j in range(len(a)):
+            acc += float(a[j]) * float(b[j])
+        return acc
+
+    rows = []
+    for qi in range(min(n_queries, len(vec_ids))):
+        qid = int(vec_ids[qi])
+        q = mat[qi].astype(np.float64)
+        qu = unit(q[None, :])[0]
+        qd = np.stack([((qu - c) ** 2).sum() for c in centroids])
+        probe = [int(b) for b in qd.argsort(kind="stable")[:nprobe]]
+        probe_set = set(probe)
+        # ADC per candidate in a probed bucket: the query residual is taken
+        # w.r.t. the candidate's OWN bucket centroid (same as the operator,
+        # which joins each probed (bucket, resid) pair against that bucket)
+        qresid = {b: qu - centroids[b] for b in probe}
+        cand = []
+        for i in range(len(vec_ids)):
+            b = int(buckets[i])
+            if b not in probe_set:
+                continue
+            adc = 0.0
+            qr = qresid[b]
+            for j in range(m):
+                diff = qr[j * sub:(j + 1) * sub] - books[j][codes[i, j]]
+                adc += float((diff ** 2).sum())
+            cand.append((adc, int(vec_ids[i]), i))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        cand = cand[:rerank]
+        qn = np.sqrt(seq_fold_dot(q, q))
+        scored = []
+        for _, vid, i in cand:
+            v = mat[i].astype(np.float64)
+            dot = seq_fold_dot(v, q)
+            nrm = np.sqrt(seq_fold_dot(v, v))
+            scored.append((vid, round_half_up(dot / (nrm * qn), 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        rows.extend([qid, vid, c] for vid, c in scored[:k])
+    return rows
+
+
 # ---------------------------------------------------------------- driver
 
 ALL_KEYS = (
     "minhash_lsh_pairs", "simhash_pairs", "ann_topk_lsh", "ann_topk_ivf",
-    "ann_topk_ivf_batch", "ann_topk_pq", "dedup_clusters",
-    "semantic_dedup_clusters", "dedup_slice_probe",
+    "ann_topk_ivf_batch", "ann_topk_pq", "ann_topk_ivfpq_batch",
+    "dedup_clusters", "semantic_dedup_clusters", "dedup_slice_probe",
 )
 
 
@@ -699,6 +801,10 @@ def generate(sf_dirs, only: set[str] | None = None):
             out["ann_topk_pq"].append(
                 {"gate": vec_gate, "rows": [[v, c] for v, c in pq]}
             )
+        if "ann_topk_ivfpq_batch" in keys:
+            ivfpq = ann_ivfpq_batch_expected(vec_ids, mat)
+            print(f"  ivfpq batch rows: {len(ivfpq)}", flush=True)
+            out["ann_topk_ivfpq_batch"].append({"gate": vec_gate, "rows": ivfpq})
         if "semantic_dedup_clusters" in keys:
             sd = semantic_dedup_expected(vec_ids, mat)
             print(f"  semantic dedup members: {len(sd)}", flush=True)
