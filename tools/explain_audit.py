@@ -204,11 +204,14 @@ AUDITED = {
         "cosine JVM fold"
     ),
     "frontier_pagerank": (
-        "returned plan = the LAST power iteration (earlier rounds pinned "
-        "behind Scan ExistingRDD leaves): exactly two data-sized "
-        "Exchanges — edges⋈ranks keyed src and the contribution agg "
-        "keyed dst, both with map-side partial sums; dangling mass "
-        "returns via crossJoin(BroadcastExchange) of a 1-row aggregate — "
+        "public plan = Sort over a Scan ExistingRDD leaf ONLY: every "
+        "power iteration is eagerly pinned (localCheckpoint), so lineage "
+        "stays O(1) per round and no consumer replays the loop. The "
+        "per-round plan (operators/graphrank.py) is edges⋈ranks on src "
+        "(node-sized rank side — AQE broadcasts it at small SF, "
+        "sort-merge on the bucketed edge table at scale) + ONE "
+        "contribution-agg Exchange keyed dst with map-side partial sums; "
+        "dangling mass via crossJoin(BroadcastExchange of a 1-row agg) — "
         "no driver round-trip inside the loop"
     ),
     "mix_upsample": (
