@@ -707,6 +707,39 @@ def _ensure_minhash_index(spark, sf_dir) -> str:
     return table
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016):
+    ONE corpus scan builds the (word, freq) dim; each of the 24 merge
+    rounds is a pair-explode + partial-agg over the word dim only (the
+    shuffle carries (pair, int64), never text), a 1-row argmax collect,
+    and a JVM ``aggregate``-fold rewrite of only the words containing the
+    winning pair. Oracle = independent pure-Python replica
+    (tools/gen_expected.bpe_expected). left/right aliased *_sym because
+    LEFT/RIGHT are SQL keywords."""
+    from review_crawler_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(load(spark, sf_dir, "documents"), num_merges=24)
+    return merges.select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "token",
+    )
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the learned BPE vocabulary: the
+    trained dim's final symbol arrays ARE each word's encoding, so the
+    corpus pass is explode → per-doc word multiplicities → hash join
+    against the (word, n_subwords) dim — (word, int) keys shuffle, text
+    does not. Oracle = the same pure-Python replica's greedy encode."""
+    from review_crawler_spark.operators.bpe import bpe_train, token_counts
+
+    docs = load(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, num_merges=24)
+    return token_counts(docs, words)
+
+
 def _q_dedup_slice_probe(spark, sf_dir):
     """INCREMENTAL dedup — the per-wave production shape: a new crawl
     slice (doc_id % 20 == 0, ~5% of documents) probed against the
@@ -3163,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq_batch": _q_ann_ivfpq_batch,
         "ann_topk_pq": _q_ann_pq,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "pipeline_dedup_canonical_schedule": _q_pipeline_dedup_canonical,
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
@@ -3356,6 +3391,16 @@ def _expected_values_oracles() -> dict[str, str]:
             doc_gate,
             ["CAST(? AS BIGINT) AS slice_id", "CAST(? AS BIGINT) AS corpus_id",
              "CAST(? AS DOUBLE) AS est_jaccard"],
+        ),
+        "bpe_merges": (
+            doc_gate,
+            ["CAST(? AS INT) AS rank", "CAST(? AS VARCHAR) AS left_sym",
+             "CAST(? AS VARCHAR) AS right_sym", "CAST(? AS VARCHAR) AS token"],
+        ),
+        "bpe_token_counts": (
+            doc_gate,
+            ["CAST(? AS BIGINT) AS doc_id", "CAST(? AS BIGINT) AS n_words",
+             "CAST(? AS BIGINT) AS n_tokens"],
         ),
     }
     out: dict[str, str] = {}

@@ -474,6 +474,10 @@ def run_bench(cpus: int) -> dict:
         "pipeline_dedup_canonical_schedule": round(
             bench_query(spark, "pipeline_dedup_canonical_schedule"), 3
         ),
+        # 24 driver-looped merge rounds: wall is round-count x job latency
+        # at this scale, not data volume (each round touches only the
+        # zipf-bounded word dim — see operators/bpe.py)
+        "bpe_merges": round(bench_query(spark, "bpe_merges"), 3),
         "image_decode_20k": round(bench_image_decode(spark), 3),
         "video_frames_3k": round(bench_video_frames(spark), 3),
         "audio_windows_20k": round(bench_audio_windows(spark), 3),

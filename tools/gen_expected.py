@@ -700,12 +700,61 @@ def ann_ivfpq_batch_expected(
     return rows
 
 
+# ---------------------------------------------------------------- BPE
+
+
+def bpe_expected(ids, texts, num_merges=24):
+    """Independent reference BPE (operators/bpe.py twin): word-freq counter,
+    per-round argmax on (count desc, pair asc), leftmost non-overlapping
+    merge. Returns (merges rows, per-doc token-count rows)."""
+    from collections import Counter
+
+    wf: Counter = Counter()
+    doc_words: list[list[str]] = []
+    for t in texts:
+        ws = [w for w in normalize(t).split(" ") if w]
+        doc_words.append(ws)
+        wf.update(ws)
+    words = {w: list(w) + ["</w>"] for w in wf}
+    merges = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b) = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append([rank, a, b, a + b])
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    counts = [
+        [
+            did,
+            len(ws),
+            sum(len(words[w]) for w in ws),
+        ]
+        for did, ws in zip(ids, doc_words)
+    ]
+    return merges, counts
+
+
 # ---------------------------------------------------------------- driver
 
 ALL_KEYS = (
     "minhash_lsh_pairs", "simhash_pairs", "ann_topk_lsh", "ann_topk_ivf",
     "ann_topk_ivf_batch", "ann_topk_pq", "ann_topk_ivfpq_batch",
     "dedup_clusters", "semantic_dedup_clusters", "dedup_slice_probe",
+    "bpe_merges", "bpe_token_counts",
 )
 
 
@@ -771,6 +820,14 @@ def generate(sf_dirs, only: set[str] | None = None):
             out["dedup_slice_probe"].append(
                 {"gate": doc_gate, "rows": [[a, b, e] for a, b, e in sp]}
             )
+        if keys & {"bpe_merges", "bpe_token_counts"}:
+            bm, bc = bpe_expected(ids, texts)
+            print(f"  bpe merges: {len(bm)}, token-count rows: {len(bc)}",
+                  flush=True)
+            if "bpe_merges" in keys:
+                out["bpe_merges"].append({"gate": doc_gate, "rows": bm})
+            if "bpe_token_counts" in keys:
+                out["bpe_token_counts"].append({"gate": doc_gate, "rows": bc})
 
         emb = con.execute(
             f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
