@@ -214,6 +214,18 @@ AUDITED = {
         "dangling mass via crossJoin(BroadcastExchange of a 1-row agg) — "
         "no driver round-trip inside the loop"
     ),
+    "bpe_token_counts": (
+        "BPE encode/count: the corpus scan reads ONLY (doc_id, text); the "
+        "word explode partial-aggregates to (doc, word, n) before any "
+        "join; the trained dim is a Scan ExistingRDD leaf (the loop's "
+        "localCheckpoint — consumers never replay the 24 merge rounds) "
+        "returned via BroadcastHashJoin at this SF (word-keyed sort-merge "
+        "at scale). The per-round training plan (operators/bpe.py) is a "
+        "pair explode + map-side partial agg over the word dim only — "
+        "after the one corpus scan that builds the dim, no round touches "
+        "the corpus, and the driver collects exactly one argmax row per "
+        "round"
+    ),
     "mix_upsample": (
         "mix factors are compile-time CASE literals — no counts agg, no "
         "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
