@@ -2539,6 +2539,76 @@ ORDER BY doc_id
 """
 
 
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle: every document gets a dense
+    0-based position in md5(doc_id || salt) order plus a round-robin
+    shard id — the training-order assignment. Distributed two-pass
+    ranking (bucket-prefix counts + offsets), bit-identical to the
+    naive single-task global row_number the oracle runs."""
+    from review_crawler_spark.operators.ordering import global_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        global_shuffle(docs, "doc_id", salt=_SAMPLE_SALT, num_shards=8)
+        .select("doc_id", "lang", "position", "shard")
+        .orderBy("position")
+    )
+
+
+_SQL_GLOBAL_SHUFFLE = f"""
+SELECT doc_id, lang,
+       rn - 1 AS position,
+       CAST((rn - 1) % 8 AS INTEGER) AS shard
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           ORDER BY substring(md5(doc_id || '{_SAMPLE_SALT}'), 1, 15), doc_id
+         ) AS rn
+  FROM documents
+)
+ORDER BY position
+"""
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by tf · N/df (linear idf —
+    integer-exact IEEE scoring, so Spark and the oracle rank
+    identically; see operators/tfidf.py). Integer outputs only."""
+    from review_crawler_spark.operators.tfidf import tfidf_topk_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rk"
+    )
+
+
+_SQL_TFIDF_TOPK = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, tf, df, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (CAST(tf.tf AS DOUBLE) * n.n / CAST(dfreq.df AS DOUBLE))
+                    DESC, tf.term
+         ) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters over the documents table
     (`functions/text.py:repetition_stats`): per-doc token totals, top
@@ -3227,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_gate": _q_image_pixel_gate,
         "sample_stratified": _q_sample_stratified,
         "sample_exact_k": _q_sample_exact_k,
+        "global_shuffle": _q_global_shuffle,
+        "tfidf_topk": _q_tfidf_topk,
         "video_frame_sample": _q_video_frame_sample,
         "audio_clip_features": _q_audio_clip_features,
         "audio_window_energy": _q_audio_window_energy,
@@ -3298,6 +3370,8 @@ def oracle_sql() -> dict[str, str]:
         "image_pixel_gate": _sql_image_pixel_gate(),
         "sample_stratified": _sql_sample_stratified(),
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
+        "global_shuffle": _SQL_GLOBAL_SHUFFLE,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
         "video_frame_sample": _sql_video_frame_sample(),
         "audio_clip_features": _sql_audio_clip_features(),
         "audio_window_energy": _sql_audio_window_energy(),
