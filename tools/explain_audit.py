@@ -226,6 +226,23 @@ AUDITED = {
         "the corpus, and the driver collects exactly one argmax row per "
         "round"
     ),
+    "global_shuffle": (
+        "distributed global ranking: the scan computes hash+bucket in "
+        "codegen; the 256-row bucket-offset dim returns via "
+        "BroadcastHashJoin (Scan ExistingRDD leaf — the tiny justified "
+        "collect); position = offset + row_number inside a window "
+        "partitioned by the hash-prefix bucket, so the ONLY data "
+        "Exchange is hashpartitioning(_gs_bucket) — never a rangepartition "
+        "or single-task global Sort over the corpus"
+    ),
+    "tfidf_topk": (
+        "scan reads ONLY (doc_id, text); tokenize explode feeds a "
+        "map-side partial agg before the (doc_id, term) tf Exchange; the "
+        "vocabulary df agg partial-aggregates again off tf; tf⋈df on term "
+        "(AQE broadcast at this SF, shuffle join at vocab scale); the "
+        "1-row corpus count joins via BroadcastNestedLoopJoin; final "
+        "per-doc top-k is one window Exchange keyed doc_id"
+    ),
     "mix_upsample": (
         "mix factors are compile-time CASE literals — no counts agg, no "
         "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
