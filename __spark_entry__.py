@@ -2609,6 +2609,103 @@ ORDER BY doc_id, rk
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: each click event picks up the latest prior
+    error event of the same user (null when none) — the SCD-style
+    "state in force at event time" lookup. Union/carry-forward plan:
+    one shuffle on the key, no inequality join (operators/temporal.py)."""
+    from review_crawler_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event_id"))
+        .withColumnRenamed("ts", "err_ts")
+    )
+    return (
+        asof_join(
+            clicks, errors, ["user_id"], "ts", "err_ts",
+            ["err_event_id", "err_ts"],
+        )
+        .select(
+            "event_id", "user_id", "err_event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("err_ts").cast("timestamp"))).alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts AS err_ts, max(event_id) AS err_event_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, e.err_event_id,
+       epoch_us(c.ts) - epoch_us(e.err_ts) AS lag_us
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+ORDER BY event_id
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: clicks landing inside the 10-minute
+    window opened by each view of the same user. Equi-binned strategy —
+    intervals explode to their covered time buckets, points key to one
+    bucket, plain (user, bucket) hash join + exact containment filter;
+    no BroadcastNestedLoopJoin, no cartesian (operators/temporal.py)."""
+    from review_crawler_spark.operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("v_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return (
+        range_join(
+            clicks, views, ["user_id"], "ts", "v_start", "v_end",
+            bucket_seconds=600,
+        )
+        .select(
+            "view_id", "click_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("v_start").cast("timestamp"))).alias(
+                "offset_us"
+            ),
+        )
+        .orderBy("view_id", "click_id")
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH views AS (
+  SELECT event_id AS view_id, user_id, ts AS v_start,
+         ts + INTERVAL 10 MINUTE AS v_end
+  FROM events WHERE event_type = 'view'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT view_id, click_id, epoch_us(ts) - epoch_us(v_start) AS offset_us
+FROM views JOIN clicks USING (user_id)
+WHERE ts >= v_start AND ts < v_end
+ORDER BY view_id, click_id
+"""
+
+
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters over the documents table
     (`functions/text.py:repetition_stats`): per-doc token totals, top
@@ -3299,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": _q_sample_exact_k,
         "global_shuffle": _q_global_shuffle,
         "tfidf_topk": _q_tfidf_topk,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
         "video_frame_sample": _q_video_frame_sample,
         "audio_clip_features": _q_audio_clip_features,
         "audio_window_energy": _q_audio_window_energy,
@@ -3372,6 +3471,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "global_shuffle": _SQL_GLOBAL_SHUFFLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "asof_join_events": _SQL_ASOF_JOIN,
+        "range_join_events": _SQL_RANGE_JOIN,
         "video_frame_sample": _sql_video_frame_sample(),
         "audio_clip_features": _sql_audio_clip_features(),
         "audio_window_energy": _sql_audio_window_energy(),

@@ -1,0 +1,131 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are staples of event-log analytics over a crawl/metrics store —
+"which robots-snapshot / host-quality score was in force when this URL
+was fetched" is an as-of join of the fetched log against a
+slowly-changing dimension; "which fetches landed inside this maintenance
+window" is a range join. Spark has no ASOF JOIN or interval-join
+operator (DuckDB, Pandas, kdb do), and the naive formulations are scale
+traps: an inequality theta-join plans as BroadcastNestedLoopJoin or a
+cartesian product.
+
+``asof_join`` — most recent right row at-or-before each left row, per
+key. Implemented as the union/carry-forward pattern: tag both sides,
+union, ONE shuffle on the key, sort by (ts, side) within the window, and
+carry the last non-null right payload forward (`last(..., ignorenulls)`)
+onto every left row. O(n log n) per key partition, no inequality join
+anywhere in the plan. At equal timestamps the right row sorts FIRST so
+the match is inclusive (right_ts ≤ left_ts). The right side must be
+unique per (key, ts) — pre-aggregate if it is not (the carried payload
+would otherwise be ordering-dependent).
+
+Skew note: one window partition per key — correct and shuffle-minimal
+when keys are hosts/users (large cardinality). A single mega-key needs
+the range-partition + boundary-replication variant; not implemented
+because the crawl store's as-of keys (host, user) are high-cardinality
+by construction.
+
+``range_join`` — point-in-interval equi-binned join (the Databricks
+"bin hint" strategy): intervals explode to the integer time buckets
+they overlap (≤ span/bucket + 1 copies, bucket size caller-tuned to the
+typical span), points key to exactly ONE bucket, the join is a plain
+(key, bucket) equi-join — hash-shuffled, AQE-skew-splittable — and the
+exact containment predicate filters the bucket-collisions out. Each
+qualifying (interval, point) pair appears exactly once because the
+point's bucket is unique. No cartesian, no nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of-backward join: every left row, plus the ``right_payload``
+    columns of the latest right row with right_ts ≤ left_ts and equal
+    keys (nulls when no such row). Right must be unique per (key, ts)."""
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_payload collides with left columns: {overlap}")
+    l_tag = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_payload],
+        F.struct(*[c for c in left.columns]).alias("_lrow"),
+    )
+    r_tag = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *right_payload,
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+    )
+    # right rows sort before left at the same _ts (side desc) → inclusive
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc("_ts"), F.desc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_lrow",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return carried.filter(F.col("_side") == 0).select("_lrow.*", *right_payload)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """All (interval × point) rows with equal keys and
+    start ≤ ts < end, via the equi-binned strategy. Returns the interval
+    columns joined with the point columns (names must not collide)."""
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    overlap = (set(points.columns) & set(intervals.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(f"column collision outside keys: {overlap}")
+    b_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def _us(col: str):
+        # tolerate TIMESTAMP_NTZ inputs: the NTZ→LTZ cast shifts points
+        # and interval bounds by the same session-tz offset, so bucket
+        # co-location and the exact containment test are unaffected
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_us(start_col) / b_us),
+                # end is exclusive, but a point in end's bucket can still
+                # precede it — include the end bucket
+                F.floor(_us(end_col) / b_us),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", F.floor(_us(ts_col) / b_us))
+    return (
+        ivals.join(pts, [*key_cols, "_bucket"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

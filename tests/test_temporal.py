@@ -1,0 +1,123 @@
+"""As-of join and range join vs pure-Python references, plus edge and
+error cases (no prior match, equal-timestamp inclusivity, interval
+spans crossing many buckets, column-collision guards)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from review_crawler_spark.operators.temporal import asof_join, range_join
+
+T0 = datetime(2024, 1, 1)
+
+
+def _t(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def _left(spark):
+    rows = [
+        (1, "h1", _t(5)),
+        (2, "h1", _t(10)),
+        (3, "h1", _t(30)),
+        (4, "h2", _t(7)),
+        (5, "h2", _t(2)),   # before any right row for h2
+        (6, "h3", _t(50)),  # key with no right rows at all
+    ]
+    return spark.createDataFrame(rows, "id long, host string, ts timestamp")
+
+
+def _right(spark):
+    rows = [
+        ("h1", _t(0), 100),
+        ("h1", _t(10), 110),   # equal ts with left id=2 → inclusive match
+        ("h1", _t(20), 120),
+        ("h2", _t(4), 200),
+    ]
+    return spark.createDataFrame(rows, "host string, rts timestamp, snap long")
+
+
+def test_asof_backward_inclusive(spark):
+    out = {
+        r["id"]: r["snap"]
+        for r in asof_join(
+            _left(spark), _right(spark), ["host"], "ts", "rts", ["snap"]
+        ).collect()
+    }
+    assert out == {1: 100, 2: 110, 3: 120, 4: 200, 5: None, 6: None}
+
+
+def test_asof_partitioning_invariant(spark):
+    a = asof_join(
+        _left(spark).repartition(1), _right(spark).repartition(5),
+        ["host"], "ts", "rts", ["snap"],
+    ).collect()
+    b = asof_join(
+        _left(spark).repartition(7), _right(spark).repartition(2),
+        ["host"], "ts", "rts", ["snap"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_asof_rejects_payload_collision(spark):
+    with pytest.raises(ValueError):
+        asof_join(
+            _left(spark), _right(spark).withColumnRenamed("snap", "ts"),
+            ["host"], "ts", "rts", ["ts"],
+        )
+
+
+def _py_range(points, ivals):
+    return sorted(
+        (iid, pid)
+        for iid, k, s, e in ivals
+        for pid, pk, t in points
+        if pk == k and s <= t < e
+    )
+
+
+def test_range_join_matches_python_across_bucket_sizes(spark):
+    ivals = [
+        (10, "h1", _t(0), _t(25)),     # spans many 60 s buckets
+        (11, "h1", _t(30), _t(31)),
+        (12, "h2", _t(5), _t(6)),
+    ]
+    points = [
+        (1, "h1", _t(0)),      # == start → included
+        (2, "h1", _t(24.99)),
+        (3, "h1", _t(25)),     # == end → excluded
+        (4, "h1", _t(30.5)),
+        (5, "h2", _t(5.5)),
+        (6, "h2", _t(40)),
+    ]
+    idf = spark.createDataFrame(
+        ivals, "iid long, host string, s timestamp, e timestamp"
+    )
+    pdf = spark.createDataFrame(points, "pid long, host string, ts timestamp")
+    expect = _py_range(points, ivals)
+    for bucket in (60, 600, 3600):
+        got = sorted(
+            (r["iid"], r["pid"])
+            for r in range_join(
+                pdf, idf, ["host"], "ts", "s", "e", bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == expect, bucket
+
+
+def test_range_join_rejects_bad_args(spark):
+    idf = spark.createDataFrame(
+        [(1, "h", _t(0), _t(1))], "iid long, host string, s timestamp, e timestamp"
+    )
+    pdf = spark.createDataFrame(
+        [(2, "h", _t(0))], "pid long, host string, ts timestamp"
+    )
+    with pytest.raises(ValueError):
+        range_join(pdf, idf, ["host"], "ts", "s", "e", bucket_seconds=0)
+    with pytest.raises(ValueError):
+        range_join(
+            pdf.withColumnRenamed("pid", "iid"), idf,
+            ["host"], "ts", "s", "e", bucket_seconds=60,
+        )

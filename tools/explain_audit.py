@@ -243,6 +243,22 @@ AUDITED = {
         "1-row corpus count joins via BroadcastNestedLoopJoin; final "
         "per-doc top-k is one window Exchange keyed doc_id"
     ),
+    "asof_join_events": (
+        "as-of backward join WITHOUT an inequality join: both event "
+        "slices scan-prune to (event_id, user_id, ts) with the type "
+        "filter pushed down; the union shuffles ONCE on user_id; the "
+        "carry-forward is a running `last(ignorenulls)` window frame in "
+        "the same sort — no BroadcastNestedLoopJoin, no cartesian, no "
+        "per-left-row probe"
+    ),
+    "range_join_events": (
+        "point-in-interval via equi-binning: intervals Generate "
+        "(explode) their covered 600 s buckets in the scan stage; the "
+        "join is a plain hash join keyed (user_id, _bucket) — AQE "
+        "broadcasts the small side here, shuffle-hash at scale — with "
+        "the exact containment predicate as a post-join Filter; no "
+        "nested-loop operator in the plan"
+    ),
     "mix_upsample": (
         "mix factors are compile-time CASE literals — no counts agg, no "
         "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
