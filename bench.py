@@ -474,6 +474,10 @@ def run_bench(cpus: int) -> dict:
         "pipeline_dedup_canonical_schedule": round(
             bench_query(spark, "pipeline_dedup_canonical_schedule"), 3
         ),
+        # token-explode heavy: tokenize → tf agg → df agg → join → top-k
+        "tfidf_topk": round(bench_query(spark, "tfidf_topk"), 3),
+        # one key shuffle + carry-forward window over 100k events
+        "asof_join_events": round(bench_query(spark, "asof_join_events"), 3),
         # 24 driver-looped merge rounds: wall is round-count x job latency
         # at this scale, not data volume (each round touches only the
         # zipf-bounded word dim — see operators/bpe.py)
