@@ -2706,6 +2706,55 @@ ORDER BY view_id, click_id
 """
 
 
+def _q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho/Garcia-Molina recrawl policy: rank pages (users stand in for
+    URLs, `value` is the content-change signal) by expected staleness —
+    observed change rate × time since last fetch — and keep the top 20
+    to feed expire_seen/enqueue. Integer outputs; the IEEE-stable score
+    never leaves the plan (operators/freshness.py)."""
+    from review_crawler_spark.operators.freshness import (
+        change_rate_priorities,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return change_rate_priorities(
+        ev, "user_id", "ts", "value", top_k=20
+    ).orderBy("rk")
+
+
+_SQL_RECRAWL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+rates AS (
+  SELECT user_id, count(*) AS n_obs, CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(us) AS f, max(us) AS l
+  FROM marked GROUP BY user_id
+),
+nowt AS (SELECT max(us) AS now FROM marked)
+SELECT user_id, n_obs, n_changes, rk FROM (
+  SELECT user_id, n_obs, n_changes,
+         CAST(row_number() OVER (
+           ORDER BY score DESC NULLS LAST, user_id
+         ) AS INTEGER) AS rk
+  FROM (
+    SELECT r.*,
+           CASE WHEN l > f
+                THEN CAST(n_changes * (now - l) AS DOUBLE) / (l - f)
+           END AS score
+    FROM rates r CROSS JOIN nowt
+  )
+)
+WHERE rk <= 20
+ORDER BY rk
+"""
+
+
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters over the documents table
     (`functions/text.py:repetition_stats`): per-doc token totals, top
@@ -3398,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
+        "recrawl_priorities": _q_recrawl_priorities,
         "video_frame_sample": _q_video_frame_sample,
         "audio_clip_features": _q_audio_clip_features,
         "audio_window_energy": _q_audio_window_energy,
@@ -3473,6 +3523,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "asof_join_events": _SQL_ASOF_JOIN,
         "range_join_events": _SQL_RANGE_JOIN,
+        "recrawl_priorities": _SQL_RECRAWL,
         "video_frame_sample": _sql_video_frame_sample(),
         "audio_clip_features": _sql_audio_clip_features(),
         "audio_window_energy": _sql_audio_window_energy(),

@@ -259,6 +259,13 @@ AUDITED = {
         "the exact containment predicate as a post-join Filter; no "
         "nested-loop operator in the plan"
     ),
+    "recrawl_priorities": (
+        "staleness ranking without a global sort: the change-detect lag "
+        "window and the per-page rate aggregation share ONE Exchange "
+        "keyed user_id; corpus max-ts joins back as a BroadcastExchange "
+        "of a 1-row agg; the head is TakeOrderedAndProject (k=20) and "
+        "the rank window runs over only those 20 rows"
+    ),
     "mix_upsample": (
         "mix factors are compile-time CASE literals — no counts agg, no "
         "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
