@@ -55,20 +55,26 @@ def asof_join(
     overlap = set(right_payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right_payload collides with left columns: {overlap}")
-    l_tag = left.select(
-        *key_cols,
-        F.col(left_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in right_payload],
-        F.struct(*[c for c in left.columns]).alias("_lrow"),
-    )
+    # the payload rides as ONE struct: a struct literal is non-null even
+    # when every field is null, so (a) a right row whose payload field is
+    # genuinely NULL still wins the carry-forward (per-column
+    # last(ignorenulls) would leak the OLDER row's value), and (b) all
+    # payload columns always come from the SAME right row
     r_tag = right.select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *right_payload,
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*right_payload).alias("_rpay"),
+    )
+    l_tag = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_rpay"].dataType).alias("_rpay"),
+        F.struct(*[c for c in left.columns]).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
     )
     # right rows sort before left at the same _ts (side desc) → inclusive
     w = (
@@ -79,9 +85,11 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_side",
         "_lrow",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
     )
-    return carried.filter(F.col("_side") == 0).select("_lrow.*", *right_payload)
+    return carried.filter(F.col("_side") == 0).select(
+        "_lrow.*", *[F.col(f"_rpay.{c}").alias(c) for c in right_payload]
+    )
 
 
 def range_join(

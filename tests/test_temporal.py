@@ -61,6 +61,36 @@ def test_asof_partitioning_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_asof_null_payload_row_still_wins(spark):
+    """A matching right row whose payload field is NULL must yield NULL —
+    not leak the previous row's value (per-column carry-forward bug)."""
+    left = spark.createDataFrame(
+        [(1, "h1", _t(15))], "id long, host string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("h1", _t(0), 100), ("h1", _t(10), None)],
+        "host string, rts timestamp, snap long",
+    )
+    out = asof_join(left, right, ["host"], "ts", "rts", ["snap"]).collect()
+    assert out[0]["snap"] is None
+
+
+def test_asof_multi_payload_same_row(spark):
+    """All payload columns must come from the SAME right row even when
+    some of its fields are null."""
+    left = spark.createDataFrame(
+        [(1, "h1", _t(15))], "id long, host string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("h1", _t(0), 100, "a"), ("h1", _t(10), None, "b")],
+        "host string, rts timestamp, snap long, tag string",
+    )
+    row = asof_join(
+        left, right, ["host"], "ts", "rts", ["snap", "tag"]
+    ).collect()[0]
+    assert (row["snap"], row["tag"]) == (None, "b")
+
+
 def test_asof_rejects_payload_collision(spark):
     with pytest.raises(ValueError):
         asof_join(
