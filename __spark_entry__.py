@@ -2745,7 +2745,8 @@ SELECT user_id, n_obs, n_changes, rk FROM (
   FROM (
     SELECT r.*,
            CASE WHEN l > f
-                THEN CAST(n_changes * (now - l) AS DOUBLE) / (l - f)
+                THEN CAST(n_changes AS DOUBLE) * CAST(now - l AS DOUBLE)
+                     / CAST(l - f AS DOUBLE)
            END AS score
     FROM rates r CROSS JOIN nowt
   )

@@ -20,10 +20,11 @@ Relational shape (one window + one aggregation, both keyed by the page):
   rates     per-page (n_obs, n_changes, first_ts, last_ts) aggregation
   now       corpus max ts via a 1-row broadcast cross join
   score     n_changes · (now − last) / (last − first) — staleness in
-            expected-changes units; every step a single correctly-rounded
-            IEEE op (bigint product, one cast, one divide) so any ANSI
-            engine ranks identically; pages with <2 observations have no
-            rate estimate and sort last (score null), ties break on key
+            expected-changes units; each operand casts to double BEFORE
+            the arithmetic, so every step is a single correctly-rounded
+            IEEE op (no int64 product to overflow) and any ANSI engine
+            ranks identically; pages with <2 observations have no rate
+            estimate and sort last (score null), ties break on key
 
 At 10^10 pages the fetch history is the engine's fetched_log; everything
 shuffles (key, int64) tuples only — content signals are compared via the
@@ -79,8 +80,14 @@ def change_rate_priorities(
         "_score",
         F.when(
             F.col("_last") > F.col("_first"),
-            (F.col("n_changes") * (F.col("_now") - F.col("_last")))
-            .cast("double") / (F.col("_last") - F.col("_first")),
+            # cast each operand to double BEFORE the multiply: the bigint
+            # product n_changes·elapsed_µs can exceed int64 at decade-
+            # scale staleness (Spark would wrap silently, an ANSI engine
+            # would error); three correctly-rounded IEEE ops stay
+            # engine-identical at any magnitude
+            F.col("n_changes").cast("double")
+            * (F.col("_now") - F.col("_last")).cast("double")
+            / (F.col("_last") - F.col("_first")).cast("double"),
         ),
     )
     # head first (TakeOrderedAndProject — reduces to k rows with no

@@ -58,10 +58,20 @@ def global_shuffle(
     ``num_shards > 0`` also adds ``shard = position % num_shards``.
 
     One tiny driver collect (16^bucket_hex bucket counts) + one
-    bucket-keyed shuffle; no global single-task sort anywhere."""
+    bucket-keyed shuffle; no global single-task sort anywhere.
+
+    ``key_col`` must be unique: rows sharing a key share a sort position,
+    so their relative order — and which row gets which position — would
+    be partitioning-dependent."""
     if not 1 <= bucket_hex <= 6:
         raise ValueError(f"bucket_hex must be in [1, 6], got {bucket_hex}")
-    h = sample_hash(F.col(key_col), salt)
+    # a NULL key has no hash → its row would silently vanish in the
+    # bucket equi-join and shift every later position; fail loudly
+    # instead (executor-side, no extra pass over the data)
+    h = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit("global_shuffle: null key_col value")),
+    ).otherwise(sample_hash(F.col(key_col), salt))
     bucketed = df.withColumn("_gs_hash", h).withColumn(
         "_gs_bucket", F.substring(F.col("_gs_hash"), 1, bucket_hex)
     )

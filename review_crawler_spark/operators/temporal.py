@@ -55,6 +55,16 @@ def asof_join(
     overlap = set(right_payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right_payload collides with left columns: {overlap}")
+    # SQL as-of semantics: a NULL right timestamp or NULL right key can
+    # never satisfy (right_ts ≤ left_ts AND keys equal) — drop such rows
+    # up front, or the NULL ts would sort FIRST in the carry-forward
+    # window and its payload would leak onto every left row. Left rows
+    # with NULL keys then land in a window partition with no right rows
+    # and correctly come back payload-NULL.
+    r_notnull = F.col(right_ts).isNotNull()
+    for k in key_cols:
+        r_notnull = r_notnull & F.col(k).isNotNull()
+    right = right.filter(r_notnull)
     # the payload rides as ONE struct: a struct literal is non-null even
     # when every field is null, so (a) a right row whose payload field is
     # genuinely NULL still wins the carry-forward (per-column
@@ -111,10 +121,37 @@ def range_join(
         raise ValueError(f"column collision outside keys: {overlap}")
     b_us = F.lit(int(bucket_seconds) * 1_000_000)
 
+    # TIMESTAMP_NTZ inputs go through an NTZ→LTZ cast for the bucket
+    # math. Under a FIXED-OFFSET session timezone that cast is a constant
+    # shift — bucket co-location is preserved and the exact containment
+    # test runs on the original values anyway. Under a DST timezone the
+    # mapping is NOT order-preserving at transitions (spring-forward gaps
+    # can put a point's bucket before its interval's start bucket,
+    # silently dropping the pair), so refuse rather than mis-join.
+    from pyspark.sql.types import TimestampNTZType
+
+    has_ntz = any(
+        isinstance(df.schema[c].dataType, TimestampNTZType)
+        for df, c in ((points, ts_col), (intervals, start_col),
+                      (intervals, end_col))
+    )
+    if has_ntz:
+        import re as _re
+
+        tz = points.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        if tz not in ("UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z") and not (
+            _re.fullmatch(r"[+-]\d{2}:\d{2}", tz)
+            or _re.fullmatch(r"GMT[+-]\d{1,2}(:\d{2})?", tz)
+        ):
+            raise ValueError(
+                "range_join over TIMESTAMP_NTZ requires a fixed-offset "
+                f"session timezone; got {tz!r} (DST transitions break "
+                "bucket co-location)"
+            )
+
     def _us(col: str):
-        # tolerate TIMESTAMP_NTZ inputs: the NTZ→LTZ cast shifts points
-        # and interval bounds by the same session-tz offset, so bucket
-        # co-location and the exact containment test are unaffected
         return F.unix_micros(F.col(col).cast("timestamp"))
 
     ivals = intervals.withColumn(

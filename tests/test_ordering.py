@@ -63,6 +63,14 @@ def test_global_shuffle_rejects_bad_bucket_hex(spark):
         global_shuffle(_docs(spark, n=10), "doc_id", bucket_hex=0)
 
 
+def test_global_shuffle_raises_on_null_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "doc_id string, val int"
+    )
+    with pytest.raises(Exception, match="null key_col"):
+        global_shuffle(df, "doc_id").collect()
+
+
 def _py_tfidf_topk(texts: dict[str, str], k: int):
     tf = {
         d: Counter(t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t)
@@ -99,8 +107,8 @@ def test_tfidf_topk_matches_python(spark):
     for d in got:
         got[d].sort(key=lambda x: x[3])
     expect = _py_tfidf_topk(texts, 2)
-    # empty doc contributes no rows
-    assert "d5" not in got
+    # empty doc contributes no rows; every non-empty doc MUST appear
+    assert set(got) == {"d1", "d2", "d3", "d4"}
     for d, rows in got.items():
         assert rows == expect[d], d
 

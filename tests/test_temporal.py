@@ -91,6 +91,27 @@ def test_asof_multi_payload_same_row(spark):
     assert (row["snap"], row["tag"]) == (None, "b")
 
 
+def test_asof_null_right_ts_and_null_keys_never_match(spark):
+    """SQL as-of semantics: NULL right timestamps and NULL keys satisfy
+    no comparison — a NULL-ts right row must not leak its payload, and
+    NULL-key left rows must come back payload-NULL."""
+    left = spark.createDataFrame(
+        [(1, "h1", _t(15)), (2, None, _t(15))],
+        "id long, host string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("h1", None, 100), (None, _t(0), 200), ("h1", _t(3), 300)],
+        "host string, rts timestamp, snap long",
+    )
+    out = {
+        r["id"]: r["snap"]
+        for r in asof_join(
+            left, right, ["host"], "ts", "rts", ["snap"]
+        ).collect()
+    }
+    assert out == {1: 300, 2: None}
+
+
 def test_asof_rejects_payload_collision(spark):
     with pytest.raises(ValueError):
         asof_join(
