@@ -296,6 +296,10 @@ def main() -> None:
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(out.getvalue())
     print("wrote PLANS.md")
+    print(
+        "NOTE: this OVERWRITES PLANS.md — re-run tools/engine_plan_audit.py "
+        "to append the engine wave-loop sections"
+    )
 
 
 if __name__ == "__main__":
