@@ -158,6 +158,76 @@ def test_range_join_matches_python_across_bucket_sizes(spark):
         assert got == expect, bucket
 
 
+def test_asof_randomized_equivalence(spark):
+    """Seeded random corpus vs a brute-force Python as-of."""
+    import random
+
+    rng = random.Random(0xA50F)
+    hosts = [f"h{i}" for i in range(6)]
+    left = [
+        (i, rng.choice(hosts), _t(rng.uniform(0, 100)))
+        for i in range(120)
+    ]
+    # unique (host, ts) on the right by construction (distinct minutes)
+    seen = set()
+    right = []
+    for j in range(80):
+        h, m = rng.choice(hosts), rng.randrange(0, 6000)
+        if (h, m) in seen:
+            continue
+        seen.add((h, m))
+        right.append((h, _t(m / 60.0), 1000 + j))
+    ldf = spark.createDataFrame(left, "id long, host string, ts timestamp")
+    rdf = spark.createDataFrame(
+        right, "host string, rts timestamp, snap long"
+    )
+
+    def brute(lrow):
+        cands = [
+            (rt, sn) for h, rt, sn in right
+            if h == lrow[1] and rt <= lrow[2]
+        ]
+        return max(cands)[1] if cands else None
+
+    expect = {i: brute(row) for i, row in ((r[0], r) for r in left)}
+    got = {
+        r["id"]: r["snap"]
+        for r in asof_join(ldf, rdf, ["host"], "ts", "rts", ["snap"])
+        .collect()
+    }
+    assert got == expect
+
+
+def test_range_join_randomized_equivalence(spark):
+    """Seeded random points/intervals vs brute-force containment."""
+    import random
+
+    rng = random.Random(0x7A46E)
+    hosts = [f"h{i}" for i in range(4)]
+    ivals = [
+        (i, rng.choice(hosts), _t(s), _t(s + rng.uniform(0.5, 45)))
+        for i, s in ((i, rng.uniform(0, 200)) for i in range(60))
+    ]
+    points = [
+        (100 + i, rng.choice(hosts), _t(rng.uniform(0, 250)))
+        for i in range(150)
+    ]
+    idf = spark.createDataFrame(
+        ivals, "iid long, host string, s timestamp, e timestamp"
+    )
+    pdf = spark.createDataFrame(
+        points, "pid long, host string, ts timestamp"
+    )
+    expect = _py_range(points, ivals)
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in range_join(
+            pdf, idf, ["host"], "ts", "s", "e", bucket_seconds=300
+        ).collect()
+    )
+    assert got == expect
+
+
 def test_range_join_rejects_bad_args(spark):
     idf = spark.createDataFrame(
         [(1, "h", _t(0), _t(1))], "iid long, host string, s timestamp, e timestamp"
