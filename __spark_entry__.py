@@ -2570,6 +2570,148 @@ ORDER BY position
 """
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC 1.1 archive round trip (sources/warc.py): the documents table
+    is archived as gzip-member WARC segments (one per partition — the
+    Common Crawl segment layout a crawl tier persists payloads in at
+    10^10-URL scale), read back through the distributed segment parser,
+    and audited per record: payload byte count + md5 prove the
+    sink→source path is byte-faithful. The oracle computes the same
+    audit directly from the source table, so any framing, truncation, or
+    encoding defect in either direction hash-mismatches."""
+    import tempfile
+
+    from review_crawler_spark.sources.warc import read_warc, write_warc
+
+    docs = load(spark, sf_dir, "documents")
+    archive = docs.repartition(8, "doc_id").select(
+        F.concat(F.lit("https://corpus.example/doc/"), "doc_id").alias("url"),
+        F.lit("2026-01-01T00:00:00Z").alias("date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_q_")
+    write_warc(archive, out, compress=True)
+    return (
+        read_warc(spark, out)
+        .select(
+            F.regexp_extract("url", r"/doc/(.+)$", 1).alias("doc_id"),
+            F.length("payload").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+_ALIGN_VOCAB = (
+    "spectra sample measurement dose response control cohort gradient "
+    "histogram baseline variance protein neuron lattice plasma seismic "
+    "alloy catalyst polymer orbit"
+).split()
+
+
+def _align_corpus_rows() -> list[tuple[str, str]]:
+    """(image_id, caption) pairs over the phash corpus: captions carry the
+    figure's article number plus four vocab words seeded off the SOURCE
+    id; every third pair gets the caption of another figure (the planted
+    LAION-style misalignment the gate should catch)."""
+    import zlib as _zl
+
+    ids = sorted(_phash_corpus_ids())
+
+    def cap_for(i: str) -> str:
+        n = _zl.crc32(i.encode())
+        words = [
+            _ALIGN_VOCAB[(n >> k) % len(_ALIGN_VOCAB)] for k in (2, 5, 8, 11)
+        ]
+        num = i.split("/article/")[1].split("/")[0]
+        return f"Figure {num}: " + " ".join(words)
+
+    return [
+        (i, cap_for(ids[(j + 7) % len(ids)] if j % 3 == 2 else i))
+        for j, i in enumerate(ids)
+    ]
+
+
+def _q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption–image alignment gate (operators/alignment.py — the LAION /
+    DataComp URL+metadata token-overlap pair filter): image-side evidence
+    is the REAL header-walk comment extraction from the encoded bitstream
+    (no pixel decode) plus URL tokens; caption/evidence token sets,
+    overlap/union counts, and the keep-iff-≥2-overlapping-tokens verdict
+    are all JVM array expressions. The oracle re-derives the evidence
+    from the generator's intent and recomputes the token logic in SQL."""
+    from review_crawler_spark.functions.imgmeta import sniff_images
+    from review_crawler_spark.operators.alignment import (
+        caption_alignment_scores,
+    )
+    from review_crawler_spark.sources.images_table import images_df
+
+    rows = _align_corpus_rows()
+    caps = spark.createDataFrame(rows, "image_id string, caption string")
+    imgs = images_df(spark, [r[0] for r in rows]).drop("caption")
+    pairs = (
+        sniff_images(imgs)
+        .withColumn("url", F.concat(F.lit("https://"), "image_id"))
+        .join(F.broadcast(caps), "image_id")
+    )
+    return (
+        caption_alignment_scores(pairs)
+        .select(
+            "image_id",
+            "n_caption",
+            "n_evidence",
+            "n_overlap",
+            "n_union",
+            F.col("aligned").cast("int").alias("aligned"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _sql_caption_align() -> str:
+    """Oracle: inline VALUES of (image_id, caption, comment, url) — the
+    comment from the generator's intent (``figure {id}``), NOT the sniffer
+    — with tokenize/intersect/union/verdict re-expressed in DuckDB list
+    functions."""
+    vals = ", ".join(
+        f"('{i}', '{c}', 'figure {i}', 'https://{i}')"
+        for i, c in _align_corpus_rows()
+    )
+    return f"""
+WITH pairs(image_id, caption, comment, url) AS (VALUES {vals}),
+tok AS (
+  SELECT image_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(caption), '[^a-z0-9]+'), t -> t <> ''
+         )) AS cap,
+         list_distinct(list_filter(
+           string_split_regex(lower(comment || ' ' || url), '[^a-z0-9]+'),
+           t -> t <> ''
+         )) AS ev
+  FROM pairs
+)
+SELECT image_id,
+       len(cap) AS n_caption,
+       len(ev) AS n_evidence,
+       len(list_intersect(cap, ev)) AS n_overlap,
+       len(list_distinct(list_concat(cap, ev))) AS n_union,
+       CAST(len(ev) = 0 OR len(list_intersect(cap, ev)) >= 2 AS INTEGER)
+         AS aligned
+FROM tok
+ORDER BY image_id
+"""
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 salient terms per document by tf · N/df (linear idf —
     integer-exact IEEE scoring, so Spark and the oracle rank
@@ -3440,12 +3582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_clusters": _q_dedup_phash_clusters,
         "image_corpus_prep": _q_image_corpus_prep,
         "image_meta_sniff": _q_image_meta_sniff,
+        "caption_align_gate": _q_caption_align,
         "image_resize_thumbs": _q_image_resize_thumbs,
         "image_pixel_gate": _q_image_pixel_gate,
         "sample_stratified": _q_sample_stratified,
         "sample_exact_k": _q_sample_exact_k,
         "global_shuffle": _q_global_shuffle,
         "tfidf_topk": _q_tfidf_topk,
+        "warc_roundtrip": _q_warc_roundtrip,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "recrawl_priorities": _q_recrawl_priorities,
@@ -3516,11 +3660,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_phash_clusters": _sql_dedup_phash_clusters(),
         "image_corpus_prep": _sql_image_corpus_prep(),
         "image_meta_sniff": _sql_image_meta_sniff(),
+        "caption_align_gate": _sql_caption_align(),
         "image_resize_thumbs": _sql_image_resize_thumbs(),
         "image_pixel_gate": _sql_image_pixel_gate(),
         "sample_stratified": _sql_sample_stratified(),
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "global_shuffle": _SQL_GLOBAL_SHUFFLE,
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "asof_join_events": _SQL_ASOF_JOIN,
         "range_join_events": _SQL_RANGE_JOIN,

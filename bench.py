@@ -307,6 +307,47 @@ def bench_video_frames(spark, n: int = 3_000) -> float:
     return best
 
 
+def bench_warc(spark, n: int = 50_000) -> float:
+    """WARC archive round trip: n synthetic ~2 KB records → gzip-member
+    segments (one per partition, sources/warc.py) → distributed
+    header-walk read-back + count. Times the full sink+source path — the
+    archival I/O a crawl wave pays per fetched payload. Best-of-2."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.sources.warc import read_warc, write_warc
+
+    records = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("https://bench.example/p/"), "id").alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("date"),
+            F.lit("text/html").alias("content_type"),
+            F.encode(
+                F.concat(
+                    F.lit("<html>"),
+                    F.repeat(F.md5(F.col("id").cast("string")), 64),
+                    F.lit("</html>"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        .repartition(32)
+    )
+    best = float("inf")
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="warc_bench_")
+        t0 = time.time()
+        write_warc(records, out)
+        got = read_warc(spark, out).count()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+        assert got == n, f"warc round trip lost rows: {got}/{n}"
+    return best
+
+
 def bench_audio_windows(spark, n: int = 20_000) -> float:
     """Windowed-feature extraction over n real WAV clips (~2-3.5k samples
     each → RIFF walk + PCM decode + ~4-7 windows per clip) — the
@@ -485,6 +526,7 @@ def run_bench(cpus: int) -> dict:
         "image_decode_20k": round(bench_image_decode(spark), 3),
         "video_frames_3k": round(bench_video_frames(spark), 3),
         "audio_windows_20k": round(bench_audio_windows(spark), 3),
+        "warc_50k": round(bench_warc(spark), 3),
     }
     # best-of-2 like bench_query: single runs intermittently absorb the
     # host's page-fault storms (BENCH_SCALING.md diagnosis)

@@ -266,6 +266,20 @@ AUDITED = {
         "of a 1-row agg; the head is TakeOrderedAndProject (k=20) and "
         "the rank window runs over only those 20 rows"
     ),
+    "warc_roundtrip": (
+        "archive read path: one task per .warc.gz segment (binaryFile "
+        "scan — files are the split unit, the Common Crawl consumption "
+        "shape), Content-Length header walk + payload audit in ONE "
+        "mapInPandas; no shuffle before the output sort. The write path "
+        "ran eagerly: one segment per partition, payloads never on the "
+        "driver, manifest O(#partitions)"
+    ),
+    "caption_align_gate": (
+        "pair filter: header-walk metadata sniff is the ONLY Python pass "
+        "(mapInPandas, no pixel decode); caption dim returns via "
+        "BroadcastHashJoin; tokenize/intersect/union/verdict are codegen "
+        "array expressions — no Exchange before the output sort"
+    ),
     "mix_upsample": (
         "mix factors are compile-time CASE literals — no counts agg, no "
         "join; repeat = explode(sequence(0, n_copies-1)) narrow Generate "
