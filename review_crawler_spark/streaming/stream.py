@@ -9,7 +9,11 @@ engine exposes:
   the url_seen table) via foreachBatch, appending to url_seen and an
   admitted sink exactly-once per batch id;
 - ``host_rate_metrics``: watermarked tumbling-window per-host discovery
-  rates (the politeness accounting signal, SURVEY.md §2.9 A7/C4).
+  rates (the politeness accounting signal, SURVEY.md §2.9 A7/C4);
+- ``archive_stream``: readStream over fetched-payload drops → WARC 1.1
+  segment archival (sources/warc.py) exactly-once per epoch — the
+  streaming twin of the wave loop's payload persistence, in the archive
+  format the corpus is consumed from (Common Crawl layout).
 """
 
 from __future__ import annotations
@@ -88,6 +92,60 @@ def admit_stream(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         admit_batch(batch, epoch_id, url_seen_dir, admitted_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+PAYLOAD_STREAM_SCHEMA = (
+    "url string, ts timestamp, content_type string, payload binary"
+)
+
+
+def archive_batch(batch: DataFrame, epoch_id: int, archive_dir: str) -> None:
+    """One micro-batch of streaming WARC archival (foreachBatch body).
+
+    Exactly-once by construction: each epoch owns ``epoch=N/`` and a
+    replay REPLACES the whole directory — clearing first matters because
+    a replayed batch may plan fewer partitions than the crashed attempt
+    wrote, and overwrite-by-filename alone would leave stale trailing
+    segments (duplicate records) behind.
+    """
+    import shutil
+
+    from ..sources.warc import write_warc
+
+    epoch_dir = os.path.join(archive_dir, f"epoch={epoch_id}")
+    if os.path.isdir(epoch_dir):
+        shutil.rmtree(epoch_dir)
+    records = batch.select(
+        "url",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("date"),
+        "content_type",
+        "payload",
+    )
+    write_warc(records, epoch_dir)
+
+
+def archive_stream(
+    spark: SparkSession,
+    input_dir: str,
+    archive_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the streaming WARC archival query; returns the StreamingQuery.
+
+    Read the archive back with
+    ``read_warc(spark, f"{archive_dir}/epoch=*/*.warc.gz")``.
+    """
+    stream = spark.readStream.schema(PAYLOAD_STREAM_SCHEMA).parquet(input_dir)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        archive_batch(batch, epoch_id, archive_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

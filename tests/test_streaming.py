@@ -175,3 +175,55 @@ def test_admit_batch_epoch_replay_exactly_once(spark, tmp_path):
     assert {r["canonical_url"] for r in replay.collect()} == {"https://c.com/z"}
     out = spark.read.parquet(str(admitted) + "/epoch=*")
     assert out.count() == 3  # exactly-once across the replay
+
+
+def test_archive_stream_warc_round_trip(spark, tmp_path):
+    from review_crawler_spark.sources.warc import read_warc
+    from review_crawler_spark.streaming.stream import (
+        PAYLOAD_STREAM_SCHEMA,
+        archive_stream,
+    )
+
+    inp = tmp_path / "payloads"
+    arch = tmp_path / "warc"
+    ckpt = tmp_path / "ckpt"
+    inp.mkdir()
+    rows = [
+        (f"https://a.com/p/{i}", T0, "text/html", b"<html>\r\n\r\n\x00" + bytes([i]) * i)
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, PAYLOAD_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(inp / "drop1"))
+
+    q = archive_stream(spark, str(inp) + "/*", str(arch), str(ckpt))
+    q.awaitTermination(120)
+
+    back = read_warc(spark, f"{arch}/epoch=*/*.warc.gz")
+    got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == {u: p for u, _, _, p in rows}
+    assert all(
+        r["date"] == "2024-01-01T12:00:00Z" for r in back.collect()
+    )
+
+
+def test_archive_batch_epoch_replay_exactly_once(spark, tmp_path):
+    from review_crawler_spark.sources.warc import read_warc
+    from review_crawler_spark.streaming.stream import (
+        PAYLOAD_STREAM_SCHEMA,
+        archive_batch,
+    )
+
+    arch = tmp_path / "warc"
+    rows = [
+        (f"https://a.com/p/{i}", T0, "text/html", b"x" * (i + 1))
+        for i in range(8)
+    ]
+    batch8 = spark.createDataFrame(rows, PAYLOAD_STREAM_SCHEMA).repartition(4)
+    archive_batch(batch8, 7, str(arch))
+    # replay the SAME epoch with fewer rows AND fewer partitions (the
+    # post-crash replan case) — stale trailing segments must not survive
+    batch3 = spark.createDataFrame(rows[:3], PAYLOAD_STREAM_SCHEMA).coalesce(1)
+    archive_batch(batch3, 7, str(arch))
+    back = read_warc(spark, f"{arch}/epoch=*/*.warc.gz")
+    assert back.count() == 3
