@@ -2612,6 +2612,53 @@ ORDER BY doc_id
 """
 
 
+def _q_warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX random-access read path (sources/warc.py): archive the corpus
+    as WARC segments + a distributed CDX sidecar (offset/length of each
+    record's own gzip member), then POINT-FETCH a url-filtered slice —
+    seek+read+inflate per record, no segment ever scanned. This is how a
+    100 TB archive serves record lookups (Common Crawl's cdx-index);
+    the audit columns prove fetched bytes match the source exactly."""
+    import tempfile
+
+    from review_crawler_spark.sources.warc import (
+        fetch_warc_records,
+        write_warc_with_cdx,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    archive = docs.repartition(8, "doc_id").select(
+        F.concat(F.lit("https://corpus.example/doc/"), "doc_id").alias("url"),
+        F.lit("2026-01-01T00:00:00Z").alias("date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="warc_cdx_q_")
+    cdx = write_warc_with_cdx(
+        archive, f"{base}/segments", f"{base}/cdx", compress=True
+    )
+    hits = cdx.filter(F.col("url").endswith("7"))
+    return (
+        fetch_warc_records(spark, hits)
+        .select(
+            F.regexp_extract("url", r"/doc/(.+)$", 1).alias("doc_id"),
+            F.length("payload").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_WARC_CDX_LOOKUP = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
+ORDER BY doc_id
+"""
+
+
 _ALIGN_VOCAB = (
     "spectra sample measurement dose response control cohort gradient "
     "histogram baseline variance protein neuron lattice plasma seismic "
@@ -3590,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _q_global_shuffle,
         "tfidf_topk": _q_tfidf_topk,
         "warc_roundtrip": _q_warc_roundtrip,
+        "warc_cdx_lookup": _q_warc_cdx_lookup,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "recrawl_priorities": _q_recrawl_priorities,
@@ -3667,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "global_shuffle": _SQL_GLOBAL_SHUFFLE,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "warc_cdx_lookup": _SQL_WARC_CDX_LOOKUP,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "asof_join_events": _SQL_ASOF_JOIN,
         "range_join_events": _SQL_RANGE_JOIN,

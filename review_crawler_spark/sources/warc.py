@@ -63,6 +63,20 @@ WARC_MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+#: CDX sidecar row — (segment, offset, length) addresses one gzip member
+#: (or one raw record when uncompressed), so a reader can fetch exactly
+#: one record with a seek+read, never a segment scan.
+WARC_CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("date", T.StringType(), True),
+        T.StructField("record_id", T.StringType(), False),
+        T.StructField("segment", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
 
 def record_id_for(url: str, date: str) -> str:
     """Deterministic WARC-Record-ID: a urn:uuid derived from (url, date) —
@@ -204,6 +218,106 @@ def write_warc(
     # eager: force the write exactly once, keep the manifest tiny
     rows = manifest.collect()  # manifest is O(#partitions), not O(data)
     return df.sparkSession.createDataFrame(rows, WARC_MANIFEST_SCHEMA)
+
+
+def write_warc_with_cdx(
+    df: DataFrame,
+    out_dir: str,
+    cdx_dir: str,
+    compress: bool = True,
+    warc_type: str = "response",
+) -> DataFrame:
+    """WARC sink + CDX index in ONE pass: segments as in ``write_warc``,
+    plus a parquet sidecar of (url, date, record_id, segment, offset,
+    length) rows — the Common Crawl cdx-index shape that makes the archive
+    randomly addressable (``fetch_warc_records``) instead of scan-only.
+
+    The CDX rows stay distributed end-to-end: the same ``mapInPandas``
+    pass that streams a partition's records into its segment emits that
+    partition's index rows, and Spark writes them straight to parquet —
+    nothing is ever collected. Offsets address the start of the record's
+    own gzip MEMBER inside the segment (the real CDX convention), so a
+    fetch is open→seek(offset)→read(length)→inflate, touching ``length``
+    bytes of a multi-GB segment.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    cols = df.select("url", "date", "content_type", "payload")
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"segment-{pid:05d}{ext}")
+        buf = bytearray()
+        idx: list[dict] = []
+        for pdf in it:
+            for url, date, ctype, payload in zip(
+                pdf["url"], pdf["date"], pdf["content_type"], pdf["payload"]
+            ):
+                rec = serialize_record(
+                    str(url), str(date), str(ctype), bytes(payload), warc_type
+                )
+                blob = _gzip_member(rec) if compress else rec
+                idx.append(
+                    {
+                        "url": str(url),
+                        "date": str(date),
+                        "record_id": record_id_for(str(url), str(date)),
+                        "segment": path,
+                        "offset": len(buf),
+                        "length": len(blob),
+                    }
+                )
+                buf += blob
+        if idx:
+            tmp = path + ".inprogress"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(buf))
+            os.replace(tmp, path)
+            yield pd.DataFrame(idx)
+
+    cdx = cols.mapInPandas(emit, WARC_CDX_SCHEMA)
+    cdx.write.mode("overwrite").parquet(cdx_dir)  # one eager pass
+    return df.sparkSession.read.parquet(cdx_dir)
+
+
+def fetch_warc_records(spark: SparkSession, lookups: DataFrame) -> DataFrame:
+    """Random-access record fetch: (segment, offset, length) rows → full
+    WARC record rows, one seek+read+inflate per row — the point-lookup
+    read path over a CDX-indexed archive (no segment is ever scanned).
+
+    ``lookups`` is any DataFrame carrying segment/offset/length (e.g. a
+    filtered slice of the CDX sidecar). Lookups are grouped per segment
+    within each Arrow batch so a segment's file handle opens once per
+    batch, and reads happen in offset order (sequential-friendly on
+    spinning/object storage).
+    """
+    cols = lookups.select("segment", "offset", "length")
+
+    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs: list[dict] = []
+            for seg, grp in pdf.groupby("segment", sort=False):
+                with open(seg, "rb") as fh:
+                    for off, ln in sorted(
+                        zip(grp["offset"], grp["length"])
+                    ):
+                        fh.seek(int(off))
+                        blob = fh.read(int(ln))
+                        if len(blob) != int(ln):
+                            raise ValueError(
+                                f"short read at {seg}:{off}+{ln}"
+                            )
+                        got = parse_warc_bytes(blob, segment=str(seg))
+                        if len(got) != 1:
+                            raise ValueError(
+                                f"CDX entry at {seg}:{off} does not "
+                                f"address exactly one record"
+                            )
+                        recs.extend(got)
+            if recs:
+                yield pd.DataFrame(recs)
+
+    return cols.mapInPandas(fetch, WARC_RECORD_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -106,3 +106,62 @@ def test_warc_malformed_inputs_raise():
     member = co.compress(rec) + co.flush()
     with pytest.raises(ValueError):
         parse_warc_bytes(member[:-4])  # truncated gzip member
+
+
+def test_warc_cdx_point_lookups(spark, tmp_path):
+    from review_crawler_spark.sources.warc import (
+        fetch_warc_records,
+        write_warc_with_cdx,
+    )
+
+    out, cdx_dir = str(tmp_path / "seg"), str(tmp_path / "cdx")
+    cdx = write_warc_with_cdx(_df(spark), out, cdx_dir)
+    assert cdx.count() == len(_ROWS)
+    # point-fetch a third of the records via their CDX entries only
+    want = {u for u, *_ in _ROWS if u.endswith(("1", "4", "7"))}
+    hits = cdx.filter(F.col("url").isin(*want))
+    got = {
+        r["url"]: bytes(r["payload"])
+        for r in fetch_warc_records(spark, hits).collect()
+    }
+    assert got == {u: p for u, _, _, p in _ROWS if u in want}
+
+
+def test_warc_cdx_offsets_address_gzip_members(spark, tmp_path):
+    import zlib
+
+    from review_crawler_spark.sources.warc import write_warc_with_cdx
+
+    out, cdx_dir = str(tmp_path / "seg"), str(tmp_path / "cdx")
+    cdx = write_warc_with_cdx(_df(spark, parts=2), out, cdx_dir).collect()
+    # every (offset, length) slice must be a COMPLETE standalone gzip
+    # member starting a record — the real CDX addressing convention
+    for r in cdx:
+        blob = open(r["segment"], "rb").read()[
+            r["offset"] : r["offset"] + r["length"]
+        ]
+        do = zlib.decompressobj(31)
+        raw = do.decompress(blob) + do.flush()
+        assert do.eof and do.unused_data == b""
+        assert raw.startswith(b"WARC/1.1\r\n")
+        assert f"WARC-Target-URI: {r['url']}".encode() in raw
+
+
+def test_warc_cdx_matches_full_scan(spark, tmp_path):
+    from review_crawler_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc,
+        write_warc_with_cdx,
+    )
+
+    out, cdx_dir = str(tmp_path / "seg"), str(tmp_path / "cdx")
+    cdx = write_warc_with_cdx(_df(spark), out, cdx_dir)
+    via_cdx = {
+        (r["url"], r["record_id"], bytes(r["payload"]))
+        for r in fetch_warc_records(spark, cdx).collect()
+    }
+    via_scan = {
+        (r["url"], r["record_id"], bytes(r["payload"]))
+        for r in read_warc(spark, out).collect()
+    }
+    assert via_cdx == via_scan

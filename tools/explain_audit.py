@@ -274,6 +274,13 @@ AUDITED = {
         "ran eagerly: one segment per partition, payloads never on the "
         "driver, manifest O(#partitions)"
     ),
+    "warc_cdx_lookup": (
+        "random-access archive read: the lookup slice (a filtered CDX "
+        "parquet scan — url filter pushed down) feeds ONE mapInPandas "
+        "that seek+read+inflates exactly the addressed gzip members; no "
+        "binaryFile segment scan node anywhere in the plan; no shuffle "
+        "before the output sort"
+    ),
     "caption_align_gate": (
         "pair filter: header-walk metadata sniff is the ONLY Python pass "
         "(mapInPandas, no pixel decode); caption dim returns via "
