@@ -2659,6 +2659,59 @@ ORDER BY doc_id
 """
 
 
+def _q_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery feed (sources/sitemaps.py): the corpus published
+    as a sitemaps.org directory (one <urlset> per partition + an index,
+    the 50k-cap layout), scanned back distributed (one task per file)
+    and scored into engine seed rows — priority = days(lastmod)*10 +
+    publisher hint in tenths, the north star's recency-dominant ordering,
+    all integer math. The oracle recomputes url/priority/lastmod straight
+    from the source table."""
+    import tempfile
+
+    from review_crawler_spark.sources.sitemaps import (
+        scan_sitemaps,
+        sitemap_seed_frontier,
+        write_sitemaps,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pub = docs.repartition(8, "doc_id").select(
+        F.concat(F.lit("https://corpus.example/doc/"), "doc_id").alias("loc"),
+        F.date_format(
+            F.date_add(
+                F.lit("2020-01-01").cast("date"),
+                (F.col("doc_id") % 1500).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("lastmod"),
+        ((F.col("doc_id") % 10) / 10.0).alias("priority_hint"),
+    )
+    out = tempfile.mkdtemp(prefix="sitemaps_q_")
+    write_sitemaps(pub, out)
+    return (
+        sitemap_seed_frontier(scan_sitemaps(spark, out))
+        .select(
+            "url",
+            "priority",
+            F.date_format("lastmod_date", "yyyy-MM-dd").alias("lastmod"),
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_SITEMAP_SEED = """
+SELECT 'https://corpus.example/doc/' || doc_id AS url,
+       date_diff('day', DATE '1970-01-01',
+                 DATE '2020-01-01' + CAST(doc_id % 1500 AS INTEGER)) * 10
+         + CAST(round((doc_id % 10) / 10.0 * 9) AS BIGINT) AS priority,
+       strftime(DATE '2020-01-01' + CAST(doc_id % 1500 AS INTEGER),
+                '%Y-%m-%d') AS lastmod
+FROM documents
+ORDER BY url
+"""
+
+
 _ALIGN_VOCAB = (
     "spectra sample measurement dose response control cohort gradient "
     "histogram baseline variance protein neuron lattice plasma seismic "
@@ -3638,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "warc_roundtrip": _q_warc_roundtrip,
         "warc_cdx_lookup": _q_warc_cdx_lookup,
+        "sitemap_seed": _q_sitemap_seed,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "recrawl_priorities": _q_recrawl_priorities,
@@ -3716,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": _SQL_GLOBAL_SHUFFLE,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "warc_cdx_lookup": _SQL_WARC_CDX_LOOKUP,
+        "sitemap_seed": _SQL_SITEMAP_SEED,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "asof_join_events": _SQL_ASOF_JOIN,
         "range_join_events": _SQL_RANGE_JOIN,

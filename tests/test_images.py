@@ -291,3 +291,58 @@ def test_jpeg_odd_sizes_and_extremes():
         out = decode_jpeg(encode_jpeg(px, q))
         assert out.shape == px.shape
         assert I.psnr(px, out) >= 30.0
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7-interlaced encodes decode losslessly, for every filter type
+    and for dimensions that exercise empty / partial passes (1x1 lacks
+    six of the seven passes entirely)."""
+    import numpy as np
+
+    from review_crawler_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(77)
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8), (13, 21)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            data = encode_png(px, filter_type=ft, interlace=True)
+            assert data[8 + 8 + 12] == 1  # IHDR interlace byte
+            out = decode_png(data)
+            assert out.shape == px.shape
+            assert (out == px).all(), (h, w, ft)
+
+
+def test_png_adam7_equals_sequential_decode():
+    """The same pixels through interlaced and sequential layouts decode
+    to identical arrays, and the interlaced body really is reordered
+    (different deflate payload)."""
+    import numpy as np
+
+    from review_crawler_spark.functions.png import decode_png, encode_png
+
+    px = np.random.default_rng(9).integers(
+        0, 256, size=(24, 17, 3), dtype=np.uint8
+    )
+    seq = encode_png(px, filter_type=4)
+    adam = encode_png(px, filter_type=4, interlace=True)
+    assert seq != adam
+    assert (decode_png(seq) == decode_png(adam)).all()
+
+
+def test_png_adam7_truncated_passes_raise():
+    import numpy as np
+
+    from review_crawler_spark.functions.png import decode_png, encode_png
+
+    px = np.random.default_rng(3).integers(
+        0, 256, size=(16, 16, 3), dtype=np.uint8
+    )
+    data = encode_png(px, interlace=True)
+    # corrupt a byte inside IDAT (after the CRC-checked header): flip in
+    # the deflate stream → zlib error → contract ValueError
+    idx = data.index(b"IDAT") + 10
+    bad = data[:idx] + bytes([data[idx] ^ 0xFF]) + data[idx + 1 :]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_png(bad)

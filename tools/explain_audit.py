@@ -274,6 +274,12 @@ AUDITED = {
         "ran eagerly: one segment per partition, payloads never on the "
         "driver, manifest O(#partitions)"
     ),
+    "sitemap_seed": (
+        "discovery feed: one task per sitemap file (binaryFile scan, the "
+        "50k-URL protocol cap makes files the parallelism grain), XML "
+        "parse in ONE mapInPandas, recency-dominant priority as codegen "
+        "integer date math; no shuffle before the output sort"
+    ),
     "warc_cdx_lookup": (
         "random-access archive read: the lookup slice (a filtered CDX "
         "parquet scan — url filter pushed down) feeds ONE mapInPandas "
