@@ -1189,6 +1189,71 @@ LEFT JOIN kw k ON k.doc_id = d.doc_id
 """
 
 
+def _q_main_content(spark, sf_dir):
+    """Main-content extraction (boilerplate removal): wrap every document's
+    text in a full page (title/h1, link-dense nav bar, three paragraphs —
+    the middle opening with an inline citation link — and a footer), then
+    run the Kohlschuetter WSDM'10-style shallow block classifier
+    (functions/content.py) over the HTML. The oracle reconstructs the
+    expected extraction straight from documents.text — it never parses
+    HTML, so Spark's split/feature/verdict path is independently checked.
+    The reference sinks whole cleaned pages (article_spider.py:168-180);
+    this is the crawl-to-training-corpus step past that."""
+    from review_crawler_spark.functions.content import extract_main_content
+    from review_crawler_spark.sources.corpus import boilerpipe_html_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = boilerpipe_html_corpus(docs)
+    return extract_main_content(pages).select(
+        "doc_id", "n_blocks", "n_content", "main_text", "main_len"
+    )
+
+
+# Twin computed from generator intent (make_boilerpipe_html): fixed blocks
+# title/h1/nav/footer are always boilerplate (2-word headings, 8/8 anchor
+# words, 4-word footer); paragraph j of the three text thirds is content
+# iff wordcount >= 5 and anchor_len*3 <= text_len (only p1 has an anchor:
+# its first word).
+_SQL_MAIN_CONTENT = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n,
+         len(string_split(text, ' ')) // 3 AS n3
+  FROM documents
+), paras AS (
+  SELECT doc_id, n, n3,
+         array_to_string(ws[1:n3], ' ') AS p0,
+         array_to_string(ws[n3+1:2*n3], ' ') AS p1,
+         CASE WHEN n3 > 0 THEN length(ws[n3+1]) ELSE 0 END AS a1,
+         array_to_string(ws[2*n3+1:n], ' ') AS p2
+  FROM s
+), verdicts AS (
+  SELECT doc_id, p0, p1, p2,
+         4 + (CASE WHEN length(p0) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN length(p1) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN length(p2) > 0 THEN 1 ELSE 0 END) AS n_blocks,
+         (n3 >= 5) AS k0,
+         (n3 >= 5 AND a1 * 3 <= length(p1)) AS k1,
+         (n - 2 * n3 >= 5) AS k2
+  FROM paras
+), main AS (
+  SELECT doc_id, n_blocks,
+         (CASE WHEN k0 THEN 1 ELSE 0 END) + (CASE WHEN k1 THEN 1 ELSE 0 END)
+           + (CASE WHEN k2 THEN 1 ELSE 0 END) AS n_content,
+         COALESCE(array_to_string(list_filter([
+             CASE WHEN k0 THEN p0 END,
+             CASE WHEN k1 THEN p1 END,
+             CASE WHEN k2 THEN p2 END], x -> x IS NOT NULL), chr(10)),
+           '') AS main_text
+  FROM verdicts
+)
+SELECT doc_id, CAST(n_blocks AS INT) AS n_blocks,
+       CAST(n_content AS INT) AS n_content,
+       main_text, CAST(length(main_text) AS INT) AS main_len
+FROM main
+"""
+
+
 def _q_jats_parse_extended(spark, sf_dir):
     """U1 extended-field round-trip: affiliations/rid resolution (J3/X20),
     corresponding-author emails + author match (J4), history dates + sanity
@@ -3661,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_parse_roundtrip": _q_jats_parse,
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
+        "main_content_extract": _q_main_content,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
@@ -3743,6 +3809,7 @@ def oracle_sql() -> dict[str, str]:
         "jats_parse_roundtrip": _SQL_JATS_PARSE,
         "jats_parse_extended": _SQL_JATS_EXT,
         "html_clean": _SQL_HTML_CLEAN,
+        "main_content_extract": _SQL_MAIN_CONTENT,
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,

@@ -48,6 +48,12 @@ AUDITED = {
         "SQL lambdas"
     ),
     "ann_topk": "TakeOrderedAndProject (global top-k without full sort)",
+    "main_content_extract": (
+        "boilerplate removal is ONE narrow projection over the page "
+        "generator (block split/features/verdict/join all Catalyst "
+        "expressions inside the same stage) — zero Exchange, zero Python "
+        "past the corpus generator"
+    ),
     "html_clean": (
         "regexp_replace chain fully inside one codegen stage over the "
         "generated pages; no shuffle at all"
