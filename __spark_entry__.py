@@ -1254,6 +1254,66 @@ FROM main
 """
 
 
+def _q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (rarticle.py:784-800 follows dx.doi.org
+    hops one blocking request at a time; at crawl scale the 3xx edges are
+    a table and the frontier wants each chain's canonical terminal).
+    Synthetic edge table off documents: u{id} -> u{id//2} halving chains
+    with %5 terminals, plus c-node 2-cycles at %100 in {7,8} so the
+    unresolved branch is exercised. Spark resolves by pointer doubling
+    (O(log chain) join rounds); the oracle walks the same chains with a
+    recursive CTE."""
+    from review_crawler_spark.operators.redirects import resolve_redirects
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter((F.col("doc_id") > 0) & (F.col("doc_id") % 5 != 0)).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") / 2).cast("long")).alias("dst"),
+    )
+    cyc1 = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("c"), F.col("doc_id") + 1).alias("dst"),
+    )
+    cyc2 = d.filter(F.col("doc_id") % 100 == 8).select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("c"), F.col("doc_id") - 1).alias("dst"),
+    )
+    edges = chain.unionByName(cyc1).unionByName(cyc2)
+    return resolve_redirects(edges, max_hops=32)
+
+
+_SQL_RESOLVE_REDIRECTS = """
+WITH RECURSIVE e AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         'u' || CAST(doc_id // 2 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id > 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'c' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id + 1 AS VARCHAR)
+  FROM documents WHERE doc_id % 100 = 7
+  UNION ALL
+  SELECT 'c' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id - 1 AS VARCHAR)
+  FROM documents WHERE doc_id % 100 = 8
+), f AS (
+  SELECT src, min(dst) AS dst FROM e GROUP BY src
+), chain AS (
+  SELECT src AS url, dst AS cur, 1 AS hops FROM f
+  UNION ALL
+  SELECT c.url, f.dst, c.hops + 1
+  FROM chain c JOIN f ON f.src = c.cur
+  WHERE c.hops < 32
+), reached AS (
+  SELECT c.url, c.cur AS final_url, c.hops
+  FROM chain c LEFT JOIN f t ON t.src = c.cur
+  WHERE t.src IS NULL
+)
+SELECT f.src AS url,
+       COALESCE(r.final_url, '') AS final_url,
+       CAST(COALESCE(r.hops, -1) AS INT) AS hops,
+       (r.url IS NOT NULL) AS resolved
+FROM f LEFT JOIN reached r ON r.url = f.src
+"""
+
+
 def _q_jats_parse_extended(spark, sf_dir):
     """U1 extended-field round-trip: affiliations/rid resolution (J3/X20),
     corresponding-author emails + author match (J4), history dates + sanity
@@ -3727,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
         "main_content_extract": _q_main_content,
+        "resolve_redirects": _q_resolve_redirects,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
@@ -3810,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "jats_parse_extended": _SQL_JATS_EXT,
         "html_clean": _SQL_HTML_CLEAN,
         "main_content_extract": _SQL_MAIN_CONTENT,
+        "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,

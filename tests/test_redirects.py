@@ -1,0 +1,91 @@
+"""Redirect-chain resolution (operators/redirects.py) vs a per-row
+Python chain walker, over every chain topology a crawl sees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from review_crawler_spark.operators.redirects import resolve_redirects
+
+
+def _walk(edges: dict[str, str], max_hops: int = 32):
+    out = {}
+    for u in edges:
+        cur, hops = edges[u], 1
+        while cur in edges and hops <= max_hops:
+            cur, hops = edges[cur], hops + 1
+        if cur not in edges and hops <= max_hops:
+            out[u] = (cur, hops, True)
+        else:
+            out[u] = ("", -1, False)
+    return out
+
+
+def _run(spark, edges: dict[str, str], max_hops: int = 32):
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in edges.items()]
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(df, max_hops=max_hops).collect()
+    }
+    assert got == _walk(edges, max_hops)
+    return got
+
+
+def test_chains_branches_and_terminals(spark):
+    edges = {
+        "a": "b", "b": "c", "c": "t1",      # 3-hop chain
+        "x": "c",                            # branch joining mid-chain
+        "y": "t2",                           # 1-hop
+    }
+    got = _run(spark, edges)
+    assert got["a"] == ("t1", 3, True)
+    assert got["x"] == ("t1", 2, True)
+    assert got["y"] == ("t2", 1, True)
+
+
+def test_cycles_self_loops_and_rho(spark):
+    edges = {
+        "p": "q", "q": "p",                  # 2-cycle
+        "s": "s",                            # self-loop
+        "tail": "p",                         # rho: chain into a cycle
+        "ok": "t",
+    }
+    got = _run(spark, edges)
+    assert got["p"] == ("", -1, False)
+    assert got["s"] == ("", -1, False)
+    assert got["tail"] == ("", -1, False)
+    assert got["ok"] == ("t", 1, True)
+
+
+def test_max_hops_bound(spark):
+    # a 9-hop chain resolves at max_hops=9 but not at 8
+    edges = {f"n{i}": f"n{i+1}" for i in range(9)}
+    got = _run(spark, edges, max_hops=9)
+    assert got["n0"] == ("n9", 9, True)
+    got = _run(spark, edges, max_hops=8)
+    assert got["n0"] == ("", -1, False)
+    assert got["n1"] == ("n9", 8, True)
+
+
+def test_long_chain_log_rounds(spark):
+    # 70 hops > 2^6: exercises several doubling rounds end-to-end
+    edges = {f"m{i}": f"m{i+1}" for i in range(70)}
+    got = _run(spark, edges, max_hops=128)
+    assert got["m0"] == ("m70", 70, True)
+
+
+def test_duplicate_edges_resolve_deterministically(spark):
+    df = spark.createDataFrame(
+        [Row(src="a", dst="z"), Row(src="a", dst="b"), Row(src="b", dst="t")]
+    )
+    got = {r.url: (r.final_url, r.hops) for r in resolve_redirects(df).collect()}
+    assert got["a"] == ("t", 2)  # min(dst) tie-break picks 'b'
+
+
+def test_bad_max_hops(spark):
+    df = spark.createDataFrame([Row(src="a", dst="b")])
+    with pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=0)
