@@ -3740,6 +3740,141 @@ FROM r ORDER BY bucket, batch_id, slot
 """
 
 
+def _q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap mining (`operators/traps.py` — IRLbot WWW'08 budget
+    enforcement / Heritrix pathological-URI defense, the at-scale
+    complement of the reference's three-publisher allow-list): URLs are
+    templated by masking variable axes (digit runs → {N}, long hex runs →
+    {H}, query values → =*), counted per (host, template) with map-side
+    partial agg, and flagged as traps by exact integer gates (has a
+    variable axis, >= MIN_URLS, >= MIN_HOST_PCT percent of the host's
+    frontier). Input: a deterministic frontier built from `orders` with
+    four shapes per host — a dominant paginated /article/{N} (trap), a
+    static /about/team (dominant but no variable axis), a hex session
+    path (variable but rare), and a /tag/{N} below the share gate."""
+    from review_crawler_spark.operators.traps import trap_stats
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), (k % 4).cast("string"), F.lit(".example.org")
+    )
+    path = (
+        F.when(k % 10 < 5, F.concat(F.lit("/article/"), k.cast("string")))
+        .when(k % 10 < 7, F.lit("/about/team"))
+        .when(
+            k % 10 < 8,
+            F.concat(
+                F.lit("/session/"), F.md5(k.cast("string")), F.lit("/view")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/tag/"), (F.col("o_custkey") % 50).cast("string")
+            )
+        )
+    )
+    frontier = orders.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    return trap_stats(frontier).orderBy("host", "template")
+
+
+_SQL_URL_TRAP_DETECT = r"""
+WITH f AS (
+  SELECT 'h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' ||
+         CASE WHEN o_orderkey % 10 < 5
+                THEN '/article/' || CAST(o_orderkey AS VARCHAR)
+              WHEN o_orderkey % 10 < 7 THEN '/about/team'
+              WHEN o_orderkey % 10 < 8
+                THEN '/session/' || md5(CAST(o_orderkey AS VARCHAR)) || '/view'
+              ELSE '/tag/' || CAST(o_custkey % 50 AS VARCHAR)
+         END AS url
+  FROM orders
+), t AS (
+  SELECT host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+               '=[^&#]*', '=*', 'g'),
+             '[0-9a-fA-F]{8,}', '{H}', 'g'),
+           '[0-9]+', '{N}', 'g') AS template
+  FROM f
+), pt AS (
+  SELECT host, template, count(*) AS n_urls FROM t GROUP BY host, template
+), ph AS (
+  SELECT host, sum(n_urls) AS host_n FROM pt GROUP BY host
+)
+SELECT pt.host AS host, template,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(host_n AS BIGINT) AS host_n,
+       CAST(CASE WHEN (template LIKE '%{N}%' OR template LIKE '%{H}%'
+                       OR template LIKE '%=*%')
+                  AND n_urls >= 50
+                  AND n_urls * 100 >= host_n * 25
+             THEN 1 ELSE 0 END AS INTEGER) AS is_trap
+FROM pt JOIN ph USING (host)
+ORDER BY host, template
+"""
+
+
+_DSIR_K = 100
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (`operators/dsir.py`, Xie et al.
+    NeurIPS'23): hashed-bigram bag-of-ngrams multinomials for a target
+    corpus (the `en` documents) and the raw corpus (all documents), per-
+    bucket log-likelihood-ratio scores quantized to integer tenth-milli-
+    nats, per-document integer weight sums, deterministic top-k. The
+    B-row score dim broadcasts into the occurrence stream — the corpus
+    never shuffles to be scored. Bit-exact DuckDB twin: same md5 bucket
+    hash, same quantization."""
+    from review_crawler_spark.operators.dsir import dsir_select_topk
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select_topk(target, docs, _DSIR_K)
+
+
+_SQL_DSIR_SELECT = rf"""
+WITH words AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(
+            unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+          ), 1, 8))::BIGINT % 4096 AS bucket
+  FROM words WHERE len(w) >= 2
+), tc AS (
+  SELECT bucket, count(*) AS tc FROM occ WHERE lang = 'en' GROUP BY bucket
+), rc AS (
+  SELECT bucket, count(*) AS rc FROM occ GROUP BY bucket
+), tt AS (SELECT sum(tc) AS tt FROM tc),
+   rt AS (SELECT sum(rc) AS rt FROM rc),
+   sc AS (
+  SELECT bucket,
+         CAST(round((ln((COALESCE(tc, 0) + 1) / (tt + 4096))
+                     - ln((COALESCE(rc, 0) + 1) / (rt + 4096))) * 10000.0, 0)
+              AS BIGINT) AS score_e4
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+), w AS (
+  SELECT occ.doc_id, count(*) AS n_grams, sum(score_e4) AS weight_e4
+  FROM occ JOIN sc USING (bucket) GROUP BY occ.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(weight_e4 AS BIGINT) AS weight_e4
+FROM w ORDER BY weight_e4 DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_frontier_schedule": _flagship,
@@ -3788,6 +3923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_clean": _q_html_clean,
         "main_content_extract": _q_main_content,
         "resolve_redirects": _q_resolve_redirects,
+        "url_trap_detect": _q_url_trap_detect,
+        "dsir_select": _q_dsir_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
@@ -3872,6 +4009,8 @@ def oracle_sql() -> dict[str, str]:
         "html_clean": _SQL_HTML_CLEAN,
         "main_content_extract": _SQL_MAIN_CONTENT,
         "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
+        "url_trap_detect": _SQL_URL_TRAP_DETECT,
+        "dsir_select": _SQL_DSIR_SELECT,
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,

@@ -506,6 +506,14 @@ def run_bench(cpus: int) -> dict:
         "lm_quality": round(bench_query(spark, "lm_quality"), 3),
         "jats_parse_extended": round(bench_query(spark, "jats_parse_extended"), 3),
         "html_clean": round(bench_query(spark, "html_clean"), 3),
+        "main_content_extract": round(
+            bench_query(spark, "main_content_extract"), 3
+        ),
+        # log2(max_hops)+1 pointer-doubling rounds: wall is round-count x
+        # join latency at this scale (see operators/redirects.py)
+        "resolve_redirects": round(bench_query(spark, "resolve_redirects"), 3),
+        "url_trap_detect": round(bench_query(spark, "url_trap_detect"), 3),
+        "dsir_select": round(bench_query(spark, "dsir_select"), 3),
         "ann_topk_ivf_batch": round(bench_query(spark, "ann_topk_ivf_batch"), 3),
         "ann_topk_pq": round(bench_query(spark, "ann_topk_pq"), 3),
         "frontier_pagerank": round(bench_query(spark, "frontier_pagerank"), 3),

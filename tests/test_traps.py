@@ -1,0 +1,103 @@
+"""Crawler-trap detection (operators/traps.py) — template masking vs a
+pure-Python re.sub reference, gate semantics, and the frontier-side
+no-shuffle plan of trap_filter."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from review_crawler_spark.operators.traps import (
+    trap_filter,
+    trap_stats,
+    url_template,
+)
+
+
+def py_template(url: str) -> str:
+    t = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", url)
+    t = re.sub(r"=[^&#]*", "=*", t)
+    t = re.sub(r"[0-9a-fA-F]{8,}", "{H}", t)
+    return re.sub(r"[0-9]+", "{N}", t)
+
+
+URLS = [
+    "https://ex.org/article/123",
+    "https://ex.org/cal?year=2024&month=11",
+    "http://ex.org/session/deadbeefcafe1234/view",
+    "https://ex.org/about/team",
+    "https://ex.org/",
+    "https://ex.org/p?q=hello#frag",
+    "https://ex.org/tag/abc9",
+    "https://ex.org/2024/01/02/post-title",
+]
+
+
+def test_url_template_matches_python_reference(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["u"])
+    got = {
+        r["u"]: r["t"]
+        for r in df.select("u", url_template(F.col("u")).alias("t")).collect()
+    }
+    for u in URLS:
+        assert got[u] == py_template(u), u
+    # spot-check the interesting shapes explicitly
+    assert got["https://ex.org/article/123"] == "/article/{N}"
+    assert got["https://ex.org/cal?year=2024&month=11"] == "/cal?year=*&month=*"
+    assert (
+        got["http://ex.org/session/deadbeefcafe1234/view"]
+        == "/session/{H}/view"
+    )
+    assert got["https://ex.org/about/team"] == "/about/team"
+
+
+def _frontier(spark):
+    """One host: 60 calendar-trap URLs, 30 static URLs (no variable axis),
+    5 rare hex URLs. A second tiny host shares the /cal template but is
+    below min_urls."""
+    rows = []
+    for i in range(60):
+        rows.append(("a.org", f"https://a.org/cal?d={19000 + i}"))
+    for _ in range(30):
+        rows.append(("a.org", "https://a.org/about/team"))
+    for i in range(5):
+        rows.append(("a.org", f"https://a.org/s/{'%08x' % (i + 0xABCDEF0)}"))
+    for i in range(4):
+        rows.append(("b.org", f"https://b.org/cal?d={i}"))
+    return spark.createDataFrame(rows, ["host", "canonical_url"])
+
+
+def test_trap_stats_gates(spark):
+    stats = {
+        (r["host"], r["template"]): r
+        for r in trap_stats(_frontier(spark), min_urls=50,
+                            min_host_pct=25).collect()
+    }
+    cal = stats[("a.org", "/cal?d=*")]
+    assert (cal["n_urls"], cal["host_n"], cal["is_trap"]) == (60, 95, 1)
+    # dominant but no variable axis → not a trap
+    assert stats[("a.org", "/about/team")]["is_trap"] == 0
+    # variable axis but rare (5/95 < 25%) → not a trap
+    assert stats[("a.org", "/s/{H}")]["is_trap"] == 0
+    # same template, other host: below min_urls → not a trap
+    assert stats[("b.org", "/cal?d=*")]["is_trap"] == 0
+
+
+def test_trap_filter_drops_only_trap_urls(spark):
+    fr = _frontier(spark)
+    kept = trap_filter(fr, min_urls=50, min_host_pct=25)
+    assert kept.columns == fr.columns
+    urls = [r["canonical_url"] for r in kept.collect()]
+    assert len(urls) == 95 + 4 - 60
+    assert not any("/cal?" in u and "a.org" in u for u in urls)
+    assert sum("b.org" in u for u in urls) == 4
+
+
+def test_trap_filter_plan_broadcasts_dim_no_frontier_shuffle(spark):
+    fr = _frontier(spark)
+    plan = trap_filter(fr)._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("BroadcastExchange", 1)[0]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the probe (frontier) side above the broadcast must not shuffle
+    assert "Exchange hashpartitioning" not in head

@@ -48,6 +48,11 @@ AUDITED = {
         "SQL lambdas"
     ),
     "ann_topk": "TakeOrderedAndProject (global top-k without full sort)",
+    "resolve_redirects": (
+        "pointer-doubling closure: the final plan consumes localCheckpoint "
+        "pinned rounds (Scan ExistingRDD leaves — O(1) lineage per round); "
+        "terminal check is one equi-join, no cartesian/nested-loop anywhere"
+    ),
     "main_content_extract": (
         "boilerplate removal is ONE narrow projection over the page "
         "generator (block split/features/verdict/join all Catalyst "
@@ -173,6 +178,18 @@ AUDITED = {
         "aggregate shuffles (host, ints) partials with map-side combine; "
         "verdict dim returns via BroadcastHashJoin — the corpus side "
         "never exchanges"
+    ),
+    "url_trap_detect": (
+        "URL templating is a codegen'd regexp_replace chain in the scan "
+        "projection; the only wide op is the (host, template) partial-agg "
+        "Exchange (trap multiplicity collapses map-side); host totals are "
+        "an agg OF that dim returned via BroadcastHashJoin"
+    ),
+    "dsir_select": (
+        "bigram→md5-bucket in the scan projection (no Python); histograms "
+        "are (bucket, count) partial aggs; the B-row score dim returns "
+        "via BroadcastHashJoin into the occurrence stream (corpus never "
+        "shuffles to be scored); top-k is TakeOrderedAndProject"
     ),
     "ann_topk_pq": (
         "ADC pass reads only the m-byte codes (one Arrow batch, no "
