@@ -3821,6 +3821,59 @@ ORDER BY host, template
 """
 
 
+_EXIF_IDS = [f"www.mdpi.com/photo/{n}" for n in range(180)]
+
+
+def _q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF audit pass over the input_hint payload table
+    (`functions/exif.py`): one Arrow-batched header walk recovers APP1
+    TIFF tags (Make/Model/DateTime/Orientation) from every JPEG without
+    touching entropy-coded data; PNG/GIF rows (no EXIF container) report
+    null tags. Zero shuffle. Oracle: generator-intent VALUES from
+    `image_exif_intent` seed math — independent of both the encoder that
+    embedded the tags and the parser that read them back."""
+    from review_crawler_spark.functions.exif import extract_exif
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _EXIF_IDS)
+    return (
+        extract_exif(imgs)
+        .select(
+            "image_id", "fmt", "make", "model",
+            F.col("datetime").alias("exif_datetime"), "orientation",
+        )
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_exif() -> str:
+    import zlib as _zlib
+
+    from review_crawler_spark.sources.images_table import image_exif_intent
+
+    def row(iid: str) -> str:
+        seed = _zlib.crc32(iid.encode()) & 0xFFFFFFFF
+        fmt = ("png", "jpeg", "gif")[seed % 3]
+        t = image_exif_intent(iid)
+        if t is None:
+            return f"('{iid}', '{fmt}', NULL, NULL, NULL, NULL)"
+        return (
+            f"('{iid}', '{fmt}', '{t['make']}', '{t['model']}', "
+            f"'{t['datetime']}', {t['orientation']})"
+        )
+
+    vals = ",\n".join(row(i) for i in _EXIF_IDS)
+    return f"""
+WITH exif(image_id, fmt, make, model, exif_datetime, orientation)
+  AS (VALUES {vals})
+SELECT image_id, fmt, CAST(make AS VARCHAR) AS make,
+       CAST(model AS VARCHAR) AS model,
+       CAST(exif_datetime AS VARCHAR) AS exif_datetime,
+       CAST(orientation AS INTEGER) AS orientation
+FROM exif ORDER BY image_id
+"""
+
+
 _DSIR_K = 100
 
 
@@ -3925,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": _q_resolve_redirects,
         "url_trap_detect": _q_url_trap_detect,
         "dsir_select": _q_dsir_select,
+        "image_exif_extract": _q_image_exif,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
@@ -4011,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
         "url_trap_detect": _SQL_URL_TRAP_DETECT,
         "dsir_select": _SQL_DSIR_SELECT,
+        "image_exif_extract": _sql_image_exif(),
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,

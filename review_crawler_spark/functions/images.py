@@ -66,19 +66,22 @@ DECODED_SCHEMA = (
 
 
 def encode_image(
-    pixels: np.ndarray, fmt: str, comment: str | None = None
+    pixels: np.ndarray, fmt: str, comment: str | None = None,
+    exif: bytes | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real PNG/JPEG/GIF bitstream.
     GIF quantizes to the 216-color cube (indexed format — lossy palette
     step, lossless LZW after it). ``comment`` embeds the format's native
     ancillary text block (PNG tEXt / JPEG COM / GIF comment extension) —
     pixel data and therefore phash are unaffected; the header-walk
-    extractor (functions/imgmeta.py) recovers it without decoding."""
+    extractor (functions/imgmeta.py) recovers it without decoding.
+    ``exif`` (a ready APP1 payload) applies to JPEG only — PNG/GIF have
+    no EXIF container."""
     if fmt == "png":
         text = {"Comment": comment} if comment is not None else None
         return encode_png(pixels, text=text)
     if fmt == "jpeg":
-        return encode_jpeg(pixels, _JPEG_QUALITY, comment=comment)
+        return encode_jpeg(pixels, _JPEG_QUALITY, comment=comment, exif=exif)
     if fmt == "gif":
         return encode_gif(gif_index(pixels), GIF_PALETTE, comment=comment)
     raise ValueError(f"unknown format {fmt!r}")

@@ -241,13 +241,16 @@ def encode_jpeg(
     quality: int = 95,
     restart_interval: int = 0,
     comment: str | None = None,
+    exif: bytes | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (T.81 resync points, used by streaming encoders).
     ``comment`` embeds a COM (0xFFFE) segment after APP0 — T.81's
-    ancillary text marker; decoders skip it."""
+    ancillary text marker; decoders skip it. ``exif`` is a ready APP1
+    payload (functions/exif.py::build_exif_app1) emitted right after
+    APP0 — decoders skip APPn segments they don't know."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg needs an (h, w, 3) uint8 array")
     h, w, _ = pixels.shape
@@ -326,6 +329,8 @@ def encode_jpeg(
     out += _seg(
         0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     )
+    if exif is not None:
+        out += _seg(0xFFE1, exif)
     if comment is not None:
         out += _seg(0xFFFE, comment.encode("utf-8"))
     out += _seg(0xFFDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
@@ -487,7 +492,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # T.81 B.2.2: Hi/Vi are 1..4; 0 would divide by zero
+                    # in the upsample step
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append((cid, ch, cv, qid))
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("progressive/lossless JPEG unsupported")

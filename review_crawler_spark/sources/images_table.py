@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.exif import build_exif_app1
 from ..functions.images import (
     average_phash,
     decode_image,
@@ -83,6 +84,28 @@ def image_dims(image_id: str) -> tuple[int, int]:
     return int(24 + (seed % 5) * 8), int(16 + ((seed >> 3) % 4) * 8)
 
 
+def image_exif_intent(image_id: str) -> dict | None:
+    """The EXIF tags the generator embeds, by seed math alone (no
+    encode) — None for PNG/GIF ids, which have no EXIF container. Dup
+    ids (``<base>~dupK``) inherit the base's tags, as re-exports of the
+    same photo do. Shared with oracle fixtures, like ``image_dims`` —
+    keeps the twin independent of both the encoder and the parser."""
+    base_id = image_id.partition("~dup")[0] or image_id
+    seed = zlib.crc32(base_id.encode()) & 0xFFFFFFFF
+    if _FMTS[seed % 3] != "jpeg":
+        return None
+    return {
+        "make": f"Cam-{seed % 7}",
+        "model": f"MX{(seed >> 5) % 90:02d}",
+        "datetime": (
+            f"{2008 + seed % 16:04d}:{1 + (seed >> 4) % 12:02d}:"
+            f"{1 + (seed >> 8) % 28:02d} {(seed >> 12) % 24:02d}:"
+            f"{(seed >> 16) % 60:02d}:{(seed >> 20) % 60:02d}"
+        ),
+        "orientation": 1 + (seed >> 2) % 8,
+    }
+
+
 def make_image(image_id: str) -> dict:
     """Pure generator: image_id → full row dict (shared with tests).
 
@@ -110,8 +133,18 @@ def make_image(image_id: str) -> dict:
         pixels = gif_prequantize(pixels)
     # embedded ancillary text (PNG tEXt / JPEG COM / GIF comment) — real
     # figure exports carry credit/tool strings; the header-walk metadata
-    # scan (functions/imgmeta.py) recovers it without decoding pixels
-    data = encode_image(pixels, fmt, comment=f"figure {image_id}")
+    # scan (functions/imgmeta.py) recovers it without decoding pixels.
+    # JPEGs additionally carry a real Exif APP1 (functions/exif.py).
+    tags = image_exif_intent(image_id)
+    data = encode_image(
+        pixels,
+        fmt,
+        comment=f"figure {image_id}",
+        exif=build_exif_app1(
+            tags["make"], tags["model"], tags["datetime"],
+            tags["orientation"],
+        ) if tags else None,
+    )
     decoded, _ = decode_image(data)
     return {
         "image_id": image_id,

@@ -185,6 +185,11 @@ AUDITED = {
         "Exchange (trap multiplicity collapses map-side); host totals are "
         "an agg OF that dim returned via BroadcastHashJoin"
     ),
+    "image_exif_extract": (
+        "one Arrow-batched mapInPandas header walk over (image_id, "
+        "bytes) — no decode, no shuffle; the only Exchange is the "
+        "output sort"
+    ),
     "dsir_select": (
         "bigram→md5-bucket in the scan projection (no Python); histograms "
         "are (bucket, count) partial aggs; the B-row score dim returns "
