@@ -3874,6 +3874,153 @@ FROM exif ORDER BY image_id
 """
 
 
+def _q_frontier_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-side hygiene pipeline: the url_trap_detect frontier
+    → `trap_filter` (mined (host, template) traps pruned via broadcast
+    anti-join — the frontier never shuffles) → per-host top-k politeness
+    schedule (rank by recency priority with a deterministic URL
+    tiebreak). Proves the trap operator composes with the engine's
+    scheduling contract on one DataFrame program; the DuckDB twin chains
+    the same regex mining, gates, and window."""
+    from review_crawler_spark.operators.traps import trap_filter
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), (k % 4).cast("string"), F.lit(".example.org")
+    )
+    path = (
+        F.when(k % 10 < 5, F.concat(F.lit("/article/"), k.cast("string")))
+        .when(k % 10 < 7, F.lit("/about/team"))
+        .when(
+            k % 10 < 8,
+            F.concat(
+                F.lit("/session/"), F.md5(k.cast("string")), F.lit("/view")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/tag/"), (F.col("o_custkey") % 50).cast("string")
+            )
+        )
+    )
+    frontier = orders.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+        F.year("o_orderdate").alias("priority"),
+    ).distinct()
+    kept = trap_filter(frontier)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("canonical_url")
+    )
+    return (
+        kept.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("host", "canonical_url", "priority", "rnk")
+        .orderBy("host", "rnk")
+    )
+
+
+_SQL_FRONTIER_PREP = r"""
+WITH f0 AS (
+  SELECT 'h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' ||
+         CASE WHEN o_orderkey % 10 < 5
+                THEN '/article/' || CAST(o_orderkey AS VARCHAR)
+              WHEN o_orderkey % 10 < 7 THEN '/about/team'
+              WHEN o_orderkey % 10 < 8
+                THEN '/session/' || md5(CAST(o_orderkey AS VARCHAR)) || '/view'
+              ELSE '/tag/' || CAST(o_custkey % 50 AS VARCHAR)
+         END AS url,
+         CAST(year(o_orderdate) AS INTEGER) AS priority
+  FROM orders
+), f AS (
+  SELECT DISTINCT host, url AS canonical_url, priority FROM f0
+), t AS (
+  SELECT host, canonical_url, priority,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(canonical_url,
+                              '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+               '=[^&#]*', '=*', 'g'),
+             '[0-9a-fA-F]{8,}', '{H}', 'g'),
+           '[0-9]+', '{N}', 'g') AS template
+  FROM f
+), pt AS (
+  SELECT host, template, count(*) AS n_urls FROM t GROUP BY host, template
+), ph AS (
+  SELECT host, sum(n_urls) AS host_n FROM pt GROUP BY host
+), traps AS (
+  SELECT pt.host, template
+  FROM pt JOIN ph USING (host)
+  WHERE (template LIKE '%{N}%' OR template LIKE '%{H}%'
+         OR template LIKE '%=*%')
+    AND n_urls >= 50 AND n_urls * 100 >= host_n * 25
+), kept AS (
+  SELECT t.host, t.canonical_url, t.priority
+  FROM t ANTI JOIN traps ON t.host = traps.host
+                        AND t.template = traps.template
+), ranked AS (
+  SELECT host, canonical_url, priority,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, canonical_url) AS rnk
+  FROM kept
+)
+SELECT host, canonical_url, priority, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 20 ORDER BY host, rnk
+"""
+
+
+def _q_image_auto_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF auto-orientation (`functions/exif.py::auto_orient_images`):
+    decode + orientation-tag transform to upright pixels in one Arrow
+    pass, reporting oriented geometry. Oracle: generator-intent VALUES —
+    orientation from `image_exif_intent` seed math, oriented dims =
+    stored dims swapped iff orientation 5..8 (the transpose family).
+    Pixel-level rotation correctness is pinned by the all-8-orientations
+    scalar-reference units in test_exif.py (codec-lossiness keeps exact
+    pixels out of the cross-engine oracle)."""
+    from review_crawler_spark.functions.exif import auto_orient_images
+    from review_crawler_spark.sources.images_table import images_df
+
+    imgs = images_df(spark, _EXIF_IDS)
+    return (
+        auto_orient_images(imgs)
+        .select(
+            "image_id", "fmt", "orientation", "w", "h", "out_w", "out_h"
+        )
+        .orderBy("image_id")
+    )
+
+
+def _sql_image_auto_orient() -> str:
+    import zlib as _zlib
+
+    from review_crawler_spark.sources.images_table import (
+        image_dims,
+        image_exif_intent,
+    )
+
+    def row(iid: str) -> str:
+        seed = _zlib.crc32(iid.encode()) & 0xFFFFFFFF
+        fmt = ("png", "jpeg", "gif")[seed % 3]
+        w, h = image_dims(iid)
+        t = image_exif_intent(iid)
+        o = t["orientation"] if t else 1
+        ow, oh = (h, w) if o >= 5 else (w, h)
+        return f"('{iid}', '{fmt}', {o}, {w}, {h}, {ow}, {oh})"
+
+    vals = ",\n".join(row(i) for i in _EXIF_IDS)
+    return f"""
+WITH o(image_id, fmt, orientation, w, h, out_w, out_h) AS (VALUES {vals})
+SELECT image_id, fmt, CAST(orientation AS INTEGER) AS orientation,
+       CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+       CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h
+FROM o ORDER BY image_id
+"""
+
+
 _DSIR_K = 100
 
 
@@ -3977,8 +4124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": _q_main_content,
         "resolve_redirects": _q_resolve_redirects,
         "url_trap_detect": _q_url_trap_detect,
+        "frontier_prep_schedule": _q_frontier_prep,
         "dsir_select": _q_dsir_select,
         "image_exif_extract": _q_image_exif,
+        "image_auto_orient": _q_image_auto_orient,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
@@ -4064,8 +4213,10 @@ def oracle_sql() -> dict[str, str]:
         "main_content_extract": _SQL_MAIN_CONTENT,
         "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
         "url_trap_detect": _SQL_URL_TRAP_DETECT,
+        "frontier_prep_schedule": _SQL_FRONTIER_PREP,
         "dsir_select": _SQL_DSIR_SELECT,
         "image_exif_extract": _sql_image_exif(),
+        "image_auto_orient": _sql_image_auto_orient(),
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,

@@ -513,6 +513,9 @@ def run_bench(cpus: int) -> dict:
         # join latency at this scale (see operators/redirects.py)
         "resolve_redirects": round(bench_query(spark, "resolve_redirects"), 3),
         "url_trap_detect": round(bench_query(spark, "url_trap_detect"), 3),
+        "frontier_prep_schedule": round(
+            bench_query(spark, "frontier_prep_schedule"), 3
+        ),
         "dsir_select": round(bench_query(spark, "dsir_select"), 3),
         "ann_topk_ivf_batch": round(bench_query(spark, "ann_topk_ivf_batch"), 3),
         "ann_topk_pq": round(bench_query(spark, "ann_topk_pq"), 3),

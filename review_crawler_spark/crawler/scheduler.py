@@ -112,6 +112,9 @@ class CrawlEngine:
         frontier_buckets: int = 16,
         compact_every: int = 0,
         seen_filter: str = "bloom",
+        trap_gate: bool = False,
+        trap_min_urls: int = 50,
+        trap_min_host_pct: int = 25,
     ):
         self.spark = spark
         # site pages keyed by canonical url; cached — it is the fetch "network"
@@ -172,6 +175,10 @@ class CrawlEngine:
         # partition at w=wave+1; pre-base partitions and tombstones are
         # unreadable after the baseline commits and GC next wave.
         self._seen_base = 0
+        # optional wave-local crawler-trap gate (operators/traps.py)
+        self.trap_gate = trap_gate
+        self.trap_min_urls = trap_min_urls
+        self.trap_min_host_pct = trap_min_host_pct
 
     # ------------------------------------------------------------- seeding
     def _seed_raw(self, seed_rows) -> DataFrame:
@@ -847,6 +854,22 @@ class CrawlEngine:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         ident = with_url_identity(links)
         allowed = filter_allowed(ident, self.disallow)
+        if self.trap_gate:
+            # wave-local trap mining (operators/traps.py): a calendar or
+            # session trap manifests as one (host, template) dominating
+            # the wave's discovery batch — prune it before it floods the
+            # frontier. Costs one partial-agg shuffle of the WAVE DELTA
+            # (never the standing frontier); off by default so the golden
+            # reference-parity order is untouched.
+            from ..operators.traps import trap_filter
+
+            allowed = trap_filter(
+                allowed,
+                url_col="canonical_url",
+                host_col="host",
+                min_urls=self.trap_min_urls,
+                min_host_pct=self.trap_min_host_pct,
+            )
 
         if self.use_bloom:
             # fused in-batch dedup + bloom probe: ONE shard-keyed shuffle

@@ -39,7 +39,7 @@ shuffle; host totals are an aggregate OF that dim, not of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: a (host, template) needs at least this many URLs to be a trap
@@ -82,10 +82,10 @@ def trap_stats(
     """(host, template, n_urls, host_n, is_trap) — one row per (host,
     template) seen in the frontier.
 
-    ``host_n`` is the host's total frontier size, computed by
-    re-aggregating the (host, template) dim — never a second pass over
-    the frontier — and joined back onto that same dim (dim ⋈ dim, both
-    sides tiny relative to the corpus)."""
+    ``host_n`` is the host's total frontier size, computed as a window
+    sum over the (host, template) dim — never a second pass over the
+    frontier (a groupBy + join-back would re-execute the corpus-scan
+    subtree)."""
     tmpl = frontier.select(
         F.col(host_col).alias("host"),
         url_template(F.col(url_col)).alias("template"),
@@ -93,10 +93,14 @@ def trap_stats(
     per_tmpl = tmpl.groupBy("host", "template").agg(
         F.count("*").alias("n_urls")
     )
-    per_host = per_tmpl.groupBy("host").agg(
-        F.sum("n_urls").alias("host_n")
-    )
-    return per_tmpl.join(F.broadcast(per_host), "host").select(
+    # host totals as a window over the (host, template) DIM — a
+    # groupBy+join-back would recompute the frontier-scan subtree twice
+    # (Spark does not CSE across self-join branches); the window costs one
+    # dim-sized exchange instead of a second corpus scan
+    host_w = Window.partitionBy("host")
+    return per_tmpl.withColumn(
+        "host_n", F.sum("n_urls").over(host_w)
+    ).select(
         "host",
         "template",
         "n_urls",

@@ -95,6 +95,87 @@ def test_jfif_only_jpeg_yields_none():
     assert exif_from_jpeg(data) is None
 
 
+def _scalar_orient(px, o: int):
+    """Independent scalar reference: map every OUTPUT coordinate to its
+    input pixel per the EXIF tag-274 mapping, one assignment at a time."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    oh, ow = (w, h) if o >= 5 else (h, w)
+    out = np.zeros((oh, ow, 3), dtype=px.dtype)
+    for y in range(oh):
+        for x in range(ow):
+            if o == 1:
+                sy, sx = y, x
+            elif o == 2:
+                sy, sx = y, w - 1 - x
+            elif o == 3:
+                sy, sx = h - 1 - y, w - 1 - x
+            elif o == 4:
+                sy, sx = h - 1 - y, x
+            elif o == 5:
+                sy, sx = x, y
+            elif o == 6:
+                sy, sx = h - 1 - x, y
+            elif o == 7:
+                sy, sx = h - 1 - x, w - 1 - y
+            else:  # 8
+                sy, sx = x, w - 1 - y
+            out[y, x] = px[sy, sx]
+    return out
+
+
+def test_auto_orient_pixels_all_eight_vs_scalar_reference():
+    import numpy as np
+
+    from review_crawler_spark.functions.exif import auto_orient_pixels
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        got = auto_orient_pixels(px, o)
+        ref = _scalar_orient(px, o)
+        assert got.shape == ref.shape, o
+        assert (np.asarray(got) == ref).all(), f"orientation {o}"
+        # rotation/flip is a permutation: the integer pixel sum is exact
+        assert int(np.asarray(got).astype("int64").sum()) == int(
+            px.astype("int64").sum()
+        )
+    with pytest.raises(ValueError):
+        auto_orient_pixels(px, 0)
+    with pytest.raises(ValueError):
+        auto_orient_pixels(px, 9)
+
+
+def test_auto_orient_images_dataframe(spark):
+    import numpy as np
+
+    from review_crawler_spark.functions.exif import auto_orient_images
+    from review_crawler_spark.sources.images_table import images_df
+
+    ids = [f"www.elifesciences.org/pix/{n}" for n in range(12)]
+    out = {
+        r["image_id"]: r
+        for r in auto_orient_images(images_df(spark, ids)).collect()
+    }
+    for iid in ids:
+        r = out[iid]
+        intent = image_exif_intent(iid)
+        o = intent["orientation"] if intent else 1
+        assert r["orient_error"] is None
+        assert r["orientation"] == o
+        if o >= 5:
+            assert (r["out_w"], r["out_h"]) == (r["h"], r["w"])
+        else:
+            assert (r["out_w"], r["out_h"]) == (r["w"], r["h"])
+        # the sum must equal the decoded image's sum exactly (permutation)
+        row = make_image(iid)
+        from review_crawler_spark.functions.images import decode_image
+
+        px, _ = decode_image(bytes(row["bytes"]))
+        assert r["px_sum"] == int(px.astype(np.int64).sum())
+
+
 def test_extract_exif_dataframe(spark):
     from review_crawler_spark.sources.images_table import images_df
 

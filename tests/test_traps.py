@@ -94,6 +94,63 @@ def test_trap_filter_drops_only_trap_urls(spark):
     assert sum("b.org" in u for u in urls) == 4
 
 
+def _trap_site():
+    """One host: the seed fans out to 12 calendar-trap links (one shared
+    /cal?d=* template) and 3 article links (below any min_urls gate)."""
+    from review_crawler_spark.sources.sitegen import Page
+
+    host = "www.mdpi.com"
+    seed_url = f"https://{host}/search?page_no=0"
+    links = []
+    for d in range(12):
+        links.append((f"https://{host}/cal?d={d}", d, 10))
+    for n in range(3):
+        links.append((f"https://{host}/article/{n}", 12 + n, 100))
+    site = {seed_url: Page(seed_url, host, "search", 0, 1, links)}
+    for u, _idx, _pri in links:
+        site[u] = Page(u, host, "article")
+    return site, seed_url
+
+
+def _drive(spark, tmp_path, trap_gate: bool) -> set[str]:
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.site_graph import (
+        site_graph_df,
+        site_links_df,
+    )
+
+    site, seed_url = _trap_site()
+    eng = CrawlEngine(
+        spark,
+        site_graph_df(spark, site),
+        site_links_df(spark, site),
+        SnapshotStore(str(tmp_path / f"gate{trap_gate}")),
+        robots_rules={},
+        num_bloom_shards=2,
+        trap_gate=trap_gate,
+        trap_min_urls=5,
+        trap_min_host_pct=50,
+    )
+    eng.seed([(seed_url, 0, 1000)])
+    eng.run(max_waves=10)
+    return {
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    }
+
+
+def test_engine_trap_gate_prunes_trap_template(spark, tmp_path):
+    gated = _drive(spark, tmp_path, trap_gate=True)
+    # the dominant /cal?d=* template never enters the frontier; the rare
+    # /article/{N} template (3 urls < min_urls=5) survives
+    assert not any("/cal?" in u for u in gated)
+    assert sum("/article/" in u for u in gated) == 3
+    ungated = _drive(spark, tmp_path, trap_gate=False)
+    assert sum("/cal?" in u for u in ungated) == 12
+    assert gated == {u for u in ungated if "/cal?" not in u}
+
+
 def test_trap_filter_plan_broadcasts_dim_no_frontier_shuffle(spark):
     fr = _frontier(spark)
     plan = trap_filter(fr)._jdf.queryExecution().executedPlan().toString()

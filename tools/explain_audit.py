@@ -181,13 +181,25 @@ AUDITED = {
     ),
     "url_trap_detect": (
         "URL templating is a codegen'd regexp_replace chain in the scan "
-        "projection; the only wide op is the (host, template) partial-agg "
-        "Exchange (trap multiplicity collapses map-side); host totals are "
-        "an agg OF that dim returned via BroadcastHashJoin"
+        "projection; ONE corpus-scan subtree — the (host, template) "
+        "partial-agg Exchange (trap multiplicity collapses map-side); "
+        "host totals are a window over the resulting dim, never a "
+        "second scan"
+    ),
+    "frontier_prep_schedule": (
+        "trap mining + anti-join gate + per-host top-k in one program: "
+        "the frontier exchanges once for the window rank; the trap dim "
+        "returns via BroadcastHashJoin LeftAnti (no frontier shuffle to "
+        "be gated)"
     ),
     "image_exif_extract": (
         "one Arrow-batched mapInPandas header walk over (image_id, "
         "bytes) — no decode, no shuffle; the only Exchange is the "
+        "output sort"
+    ),
+    "image_auto_orient": (
+        "decode + orientation transform fused in ONE mapInPandas pass "
+        "(integer index gather, no resample); zero shuffle before the "
         "output sort"
     ),
     "dsir_select": (
