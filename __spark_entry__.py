@@ -1254,6 +1254,46 @@ FROM main
 """
 
 
+def _q_warc_wet(spark, sf_dir):
+    """WET extraction (the Common Crawl WARC→WET step): archive the
+    boilerpipe HTML pages as gzip-member WARC segments, read them back
+    through the distributed segment parser, and run main-content
+    extraction over the recovered payloads — crawl archive in, clean
+    text records out, one composed DataFrame program. The oracle is the
+    HTML-free main-content twin straight off documents.text: it passes
+    only if the WARC path is byte-faithful AND the extractor matches the
+    generator intent, so both legs are checked through the composition."""
+    import tempfile
+
+    from review_crawler_spark.functions.content import extract_main_content
+    from review_crawler_spark.sources.corpus import boilerpipe_html_corpus
+    from review_crawler_spark.sources.warc import read_warc, write_warc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = boilerpipe_html_corpus(docs)
+    archive = pages.repartition(8, "doc_id").select(
+        F.concat(F.lit("https://corpus.example/page/"), "doc_id").alias(
+            "url"
+        ),
+        F.lit("2026-01-01T00:00:00Z").alias("date"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.encode("html", "UTF-8").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="wet_q_")
+    write_warc(archive, out, compress=True)
+    recovered = read_warc(spark, out).select(
+        F.regexp_extract("url", r"/page/(.+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    return (
+        extract_main_content(recovered)
+        .select("doc_id", "main_text", "main_len")
+        .orderBy("doc_id")
+    )
+
+
 def _q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution (rarticle.py:784-800 follows dx.doi.org
     hops one blocking request at a time; at crawl scale the 3xx edges are
@@ -4122,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_parse_extended": _q_jats_parse_extended,
         "html_clean": _q_html_clean,
         "main_content_extract": _q_main_content,
+        "warc_wet_extract": _q_warc_wet,
         "resolve_redirects": _q_resolve_redirects,
         "url_trap_detect": _q_url_trap_detect,
         "frontier_prep_schedule": _q_frontier_prep,
@@ -4211,6 +4252,10 @@ def oracle_sql() -> dict[str, str]:
         "jats_parse_extended": _SQL_JATS_EXT,
         "html_clean": _SQL_HTML_CLEAN,
         "main_content_extract": _SQL_MAIN_CONTENT,
+        "warc_wet_extract": (
+            f"SELECT doc_id, main_text, main_len FROM ({_SQL_MAIN_CONTENT})"
+            " ORDER BY doc_id"
+        ),
         "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
         "url_trap_detect": _SQL_URL_TRAP_DETECT,
         "frontier_prep_schedule": _SQL_FRONTIER_PREP,

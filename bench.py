@@ -509,6 +509,8 @@ def run_bench(cpus: int) -> dict:
         "main_content_extract": round(
             bench_query(spark, "main_content_extract"), 3
         ),
+        # archive → parse → extract composition (WARC write+read included)
+        "warc_wet_extract": round(bench_query(spark, "warc_wet_extract"), 3),
         # log2(max_hops)+1 pointer-doubling rounds: wall is round-count x
         # join latency at this scale (see operators/redirects.py)
         "resolve_redirects": round(bench_query(spark, "resolve_redirects"), 3),
