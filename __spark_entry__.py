@@ -3949,6 +3949,10 @@ def _q_frontier_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), host, path).alias("canonical_url"),
         F.year("o_orderdate").alias("priority"),
     ).distinct()
+    # pin the constructed frontier: trap_filter consumes it in two plan
+    # branches (the mined-trap dim and the probe side) and the md5 +
+    # distinct construction would otherwise execute twice
+    frontier = frontier.localCheckpoint(eager=True)
     kept = trap_filter(frontier)
     w = Window.partitionBy("host").orderBy(
         F.col("priority").desc(), F.col("canonical_url")

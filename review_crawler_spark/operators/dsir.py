@@ -117,9 +117,16 @@ def dsir_bucket_scores(
     r = _bucket_histogram(
         hashed_bigram_occurrences(raw_docs, id_col, text_col, n_buckets, salt)
     ).withColumnsRenamed({"c": "rc", "total": "rt"})
-    # outer join keeps buckets seen in only one corpus; missing counts are
-    # 0 and the missing TOTAL is recovered from any row of the other side
-    # (1-row agg per side, cross-joined broadcast — no driver scalar).
+    return _scores_from_histograms(t, r, n_buckets)
+
+
+def _scores_from_histograms(
+    t: DataFrame, r: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(bucket, score_e4) from the two renamed histograms. Outer join
+    keeps buckets seen in only one corpus; missing counts are 0 and the
+    missing TOTAL is recovered from any row of the other side (1-row agg
+    per side, cross-joined broadcast — no driver scalar)."""
     tt = t.agg(F.max("tt").alias("tt_all"))
     rt = r.agg(F.max("rt").alias("rt_all"))
     joined = (
@@ -190,10 +197,33 @@ def dsir_select_topk(
     k-row merge, never a global sort."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    scores = dsir_bucket_scores(
-        target_docs, raw_docs, id_col, text_col, n_buckets, salt
+    # the raw-corpus occurrence stream feeds BOTH the raw histogram and
+    # the scoring join — pin it once (eager localCheckpoint, the minhash
+    # bucket_groups convention) so the explode+hash subtree runs a single
+    # time instead of once per consumer
+    occ_raw = hashed_bigram_occurrences(
+        raw_docs, id_col, text_col, n_buckets, salt
+    ).localCheckpoint(eager=True)
+    t = _bucket_histogram(
+        hashed_bigram_occurrences(
+            target_docs, id_col, text_col, n_buckets, salt
+        )
+    ).withColumnsRenamed({"c": "tc", "total": "tt"})
+    r = _bucket_histogram(occ_raw).withColumnsRenamed(
+        {"c": "rc", "total": "rt"}
     )
-    w = dsir_importance_weights(
-        raw_docs, scores, id_col, text_col, n_buckets, salt
+    scores = _scores_from_histograms(t, r, n_buckets)
+    w = (
+        occ_raw.join(F.broadcast(scores), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("score_e4").alias("weight_e4"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "weight_e4",
+        )
     )
     return w.orderBy(F.col("weight_e4").desc(), F.col(id_col)).limit(k)

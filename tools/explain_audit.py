@@ -188,9 +188,10 @@ AUDITED = {
     ),
     "frontier_prep_schedule": (
         "trap mining + anti-join gate + per-host top-k in one program: "
-        "the frontier exchanges once for the window rank; the trap dim "
-        "returns via BroadcastHashJoin LeftAnti (no frontier shuffle to "
-        "be gated)"
+        "the constructed frontier is PINNED once (Scan ExistingRDD "
+        "leaves — both trap_filter branches consume it without re-"
+        "executing the build), the trap dim returns via BroadcastHashJoin "
+        "LeftAnti, and the frontier exchanges once for the window rank"
     ),
     "image_exif_extract": (
         "one Arrow-batched mapInPandas header walk over (image_id, "
@@ -203,10 +204,12 @@ AUDITED = {
         "output sort"
     ),
     "dsir_select": (
-        "bigram→md5-bucket in the scan projection (no Python); histograms "
-        "are (bucket, count) partial aggs; the B-row score dim returns "
-        "via BroadcastHashJoin into the occurrence stream (corpus never "
-        "shuffles to be scored); top-k is TakeOrderedAndProject"
+        "bigram→md5-bucket in the scan projection (no Python); the raw "
+        "occurrence stream is pinned ONCE (Scan ExistingRDD — histogram "
+        "and scoring join share it); histograms are (bucket, count) "
+        "partial aggs; the B-row score dim returns via BroadcastHashJoin "
+        "(corpus never shuffles to be scored); top-k is "
+        "TakeOrderedAndProject"
     ),
     "ann_topk_pq": (
         "ADC pass reads only the m-byte codes (one Arrow batch, no "
