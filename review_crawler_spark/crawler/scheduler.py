@@ -115,6 +115,7 @@ class CrawlEngine:
         trap_gate: bool = False,
         trap_min_urls: int = 50,
         trap_min_host_pct: int = 25,
+        trap_cumulative: bool = False,
     ):
         self.spark = spark
         # site pages keyed by canonical url; cached — it is the fetch "network"
@@ -175,10 +176,15 @@ class CrawlEngine:
         # partition at w=wave+1; pre-base partitions and tombstones are
         # unreadable after the baseline commits and GC next wave.
         self._seen_base = 0
-        # optional wave-local crawler-trap gate (operators/traps.py)
+        # optional crawler-trap gate (operators/traps.py). Wave-local by
+        # default; trap_cumulative additionally accumulates ADMITTED
+        # (host, template) counts as a per-wave O(delta) store log and
+        # gates on the cumulative evidence — catches slow-burn traps that
+        # drip a few URLs per wave and never trip an in-batch threshold.
         self.trap_gate = trap_gate
         self.trap_min_urls = trap_min_urls
         self.trap_min_host_pct = trap_min_host_pct
+        self.trap_cumulative = trap_cumulative
 
     # ------------------------------------------------------------- seeding
     def _seed_raw(self, seed_rows) -> DataFrame:
@@ -710,6 +716,20 @@ class CrawlEngine:
             # waves in one partitioned scan
             lambda: self.store.append_delta("fetched_log", wave, fetched),
         ]
+        # cumulative trap evidence: O(delta) append of the wave's ADMITTED
+        # (host, template) counts — distinct frontier entries, the right
+        # min_urls evidence (one URL rediscovered 1000x is not a trap;
+        # 1000 distinct URLs under one template is). Dim-sized, computed
+        # from the cached admitted rows.
+        if self.trap_gate and self.trap_cumulative and n_new > 0:
+            from ..operators.traps import template_counts as _tc
+
+            trap_delta = _tc(admitted, "canonical_url", "host")
+            writes.append(
+                lambda: self.store.append_delta(
+                    "trap_counts", wave, trap_delta
+                )
+            )
         # terminal failures: O(delta) append; n_err == 0 means no failed
         # rows at all this wave — skip the write job entirely
         # (failed_urls() tolerates missing wave partitions)
@@ -855,21 +875,51 @@ class CrawlEngine:
         ident = with_url_identity(links)
         allowed = filter_allowed(ident, self.disallow)
         if self.trap_gate:
-            # wave-local trap mining (operators/traps.py): a calendar or
-            # session trap manifests as one (host, template) dominating
-            # the wave's discovery batch — prune it before it floods the
-            # frontier. Costs one partial-agg shuffle of the WAVE DELTA
-            # (never the standing frontier); off by default so the golden
-            # reference-parity order is untouched.
-            from ..operators.traps import trap_filter
-
-            allowed = trap_filter(
-                allowed,
-                url_col="canonical_url",
-                host_col="host",
-                min_urls=self.trap_min_urls,
-                min_host_pct=self.trap_min_host_pct,
+            # trap mining (operators/traps.py): a calendar or session
+            # trap manifests as one (host, template) dominating the
+            # discovery stream — prune it before it floods the frontier.
+            # Evidence = this wave's batch counts, plus (cumulative mode)
+            # the store's admitted-count log — a dim-sized read that
+            # catches traps dripping a few URLs per wave. Costs one
+            # partial-agg shuffle of the WAVE DELTA (never the standing
+            # frontier); off by default so the golden reference-parity
+            # order is untouched.
+            from ..operators.traps import (
+                template_counts,
+                trap_verdicts,
+                url_template,
             )
+
+            counts = template_counts(
+                allowed, url_col="canonical_url", host_col="host"
+            )
+            if self.trap_cumulative and (
+                self.store.base / "trap_counts"
+            ).exists():
+                cum = self.store.read_deltas(
+                    self.spark, "trap_counts", wave - 1
+                )
+                counts = (
+                    counts.unionByName(cum)
+                    .groupBy("host", "template")
+                    .agg(F.sum("n_urls").alias("n_urls"))
+                )
+            traps = (
+                trap_verdicts(
+                    counts, self.trap_min_urls, self.trap_min_host_pct
+                )
+                .filter(F.col("is_trap") == 1)
+                .select("host", "template")
+            )
+            probed_t = allowed.withColumn(
+                "_tmpl", url_template(F.col("canonical_url"))
+            )
+            allowed = probed_t.join(
+                F.broadcast(traps),
+                (probed_t["host"] == traps["host"])
+                & (probed_t["_tmpl"] == traps["template"]),
+                "left_anti",
+            ).drop("_tmpl")
 
         if self.use_bloom:
             # fused in-batch dedup + bloom probe: ONE shard-keyed shuffle

@@ -72,33 +72,37 @@ def _has_variable_axis(template: Column) -> Column:
     )
 
 
-def trap_stats(
+def template_counts(
     frontier: DataFrame,
     url_col: str = "canonical_url",
     host_col: str = "host",
-    min_urls: int = MIN_URLS,
-    min_host_pct: int = MIN_HOST_PCT,
 ) -> DataFrame:
-    """(host, template, n_urls, host_n, is_trap) — one row per (host,
-    template) seen in the frontier.
-
-    ``host_n`` is the host's total frontier size, computed as a window
-    sum over the (host, template) dim — never a second pass over the
-    frontier (a groupBy + join-back would re-execute the corpus-scan
-    subtree)."""
+    """(host, template, n_urls) — the templated frontier collapsed to its
+    count dim with map-side partial aggregation (trap multiplicity
+    collapses before the wire)."""
     tmpl = frontier.select(
         F.col(host_col).alias("host"),
         url_template(F.col(url_col)).alias("template"),
     )
-    per_tmpl = tmpl.groupBy("host", "template").agg(
+    return tmpl.groupBy("host", "template").agg(
         F.count("*").alias("n_urls")
     )
-    # host totals as a window over the (host, template) DIM — a
-    # groupBy+join-back would recompute the frontier-scan subtree twice
-    # (Spark does not CSE across self-join branches); the window costs one
-    # dim-sized exchange instead of a second corpus scan
+
+
+def trap_verdicts(
+    counts: DataFrame,
+    min_urls: int = MIN_URLS,
+    min_host_pct: int = MIN_HOST_PCT,
+) -> DataFrame:
+    """Gate a (host, template, n_urls) count dim → adds (host_n, is_trap).
+
+    ``host_n`` is a window sum over the dim — never a second pass over
+    the frontier (a groupBy + join-back would re-execute the corpus-scan
+    subtree; Spark does not CSE across self-join branches). Accepts any
+    count source: one wave's batch, or a cumulative log union — which is
+    how the engine's cross-wave gate catches slow-burn traps."""
     host_w = Window.partitionBy("host")
-    return per_tmpl.withColumn(
+    return counts.withColumn(
         "host_n", F.sum("n_urls").over(host_w)
     ).select(
         "host",
@@ -112,6 +116,21 @@ def trap_stats(
         )
         .cast("int")
         .alias("is_trap"),
+    )
+
+
+def trap_stats(
+    frontier: DataFrame,
+    url_col: str = "canonical_url",
+    host_col: str = "host",
+    min_urls: int = MIN_URLS,
+    min_host_pct: int = MIN_HOST_PCT,
+) -> DataFrame:
+    """(host, template, n_urls, host_n, is_trap) — one row per (host,
+    template) seen in the frontier: ``template_counts`` composed with
+    ``trap_verdicts``."""
+    return trap_verdicts(
+        template_counts(frontier, url_col, host_col), min_urls, min_host_pct
     )
 
 

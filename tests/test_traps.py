@@ -151,6 +151,78 @@ def test_engine_trap_gate_prunes_trap_template(spark, tmp_path):
     assert gated == {u for u in ungated if "/cal?" not in u}
 
 
+def _slowburn_site():
+    """A hub chain that drips 3 calendar URLs per wave: no single wave's
+    batch reaches min_urls=8, but the cumulative admitted evidence does
+    by the third hub — the slow-burn trap shape a wave-local gate cannot
+    catch."""
+    from review_crawler_spark.sources.sitegen import Page
+
+    host = "www.plos.org"
+    pages: dict = {}
+    hubs = [f"https://{host}/hub/{i}" for i in range(7)]
+    for i, hu in enumerate(hubs):
+        links = [f"https://{host}/cal?d={3 * i + j}" for j in range(3)]
+        links.append(f"https://{host}/art/{i}")
+        if i + 1 < len(hubs):
+            links.append(hubs[i + 1])
+        pages[hu] = Page(
+            hu, host, "article",
+            out_links=[(u, j, 10) for j, u in enumerate(links)],
+        )
+        for u in links:
+            if u not in pages:
+                pages[u] = Page(u, host, "article")
+    return pages, hubs[0]
+
+
+def _drive_slowburn(spark, tmp_path, cumulative: bool):
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.site_graph import (
+        site_graph_df,
+        site_links_df,
+    )
+
+    site, seed_url = _slowburn_site()
+    store = SnapshotStore(str(tmp_path / f"cum{cumulative}"))
+    eng = CrawlEngine(
+        spark,
+        site_graph_df(spark, site),
+        site_links_df(spark, site),
+        store,
+        robots_rules={},
+        budget=50,
+        num_bloom_shards=2,
+        trap_gate=True,
+        trap_min_urls=8,
+        trap_min_host_pct=50,
+        trap_cumulative=cumulative,
+    )
+    eng.seed([(seed_url, 0, 1000)])
+    eng.run(max_waves=25)
+    urls = [
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    ]
+    return urls, store
+
+
+def test_engine_cumulative_gate_catches_slow_burn_trap(spark, tmp_path):
+    wave_local, _ = _drive_slowburn(spark, tmp_path, cumulative=False)
+    cum, store = _drive_slowburn(spark, tmp_path, cumulative=True)
+    # wave-local: 3 cal urls per batch never reach min_urls=8 — all 21 crawl
+    assert sum("/cal?" in u for u in wave_local) == 21
+    # cumulative: admitted evidence crosses 8 after the third hub; later
+    # cal admissions are gated while the hub chain itself completes
+    n_cal_cum = sum("/cal?" in u for u in cum)
+    assert 8 <= n_cal_cum < 21
+    assert sum("/hub/" in u for u in cum) == 7
+    assert sum("/hub/" in u for u in wave_local) == 7
+    # the evidence log is a per-wave delta table in the store
+    assert (store.base / "trap_counts").exists()
+
+
 def test_trap_filter_plan_broadcasts_dim_no_frontier_shuffle(spark):
     fr = _frontier(spark)
     plan = trap_filter(fr)._jdf.queryExecution().executedPlan().toString()
