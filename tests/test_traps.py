@@ -223,6 +223,44 @@ def test_engine_cumulative_gate_catches_slow_burn_trap(spark, tmp_path):
     assert (store.base / "trap_counts").exists()
 
 
+def test_cumulative_trap_evidence_survives_kill_resume(spark, tmp_path):
+    """The evidence log is store-backed: a crawl killed mid-way and
+    resumed by a FRESH engine keeps gating on the accumulated counts —
+    the resumed run must end with the same gated crawl set as an
+    uninterrupted one."""
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.site_graph import (
+        site_graph_df,
+        site_links_df,
+    )
+
+    site, seed_url = _slowburn_site()
+    kw = dict(
+        robots_rules={}, budget=50, num_bloom_shards=2, trap_gate=True,
+        trap_min_urls=8, trap_min_host_pct=50, trap_cumulative=True,
+    )
+    graph, links = site_graph_df(spark, site), site_links_df(spark, site)
+
+    store_a = SnapshotStore(str(tmp_path / "uninterrupted"))
+    eng_a = CrawlEngine(spark, graph, links, store_a, **kw)
+    eng_a.seed([(seed_url, 0, 1000)])
+    eng_a.run(max_waves=25)
+    expect = sorted(
+        r["canonical_url"] for r in eng_a.crawl_order().collect()
+    )
+
+    store_b = SnapshotStore(str(tmp_path / "killed"))
+    eng_b = CrawlEngine(spark, graph, links, store_b, **kw)
+    eng_b.seed([(seed_url, 0, 1000)])
+    eng_b.run(max_waves=4)  # "crash" mid-crawl, after evidence accrued
+    eng_c = CrawlEngine(spark, graph, links, store_b, **kw)
+    assert eng_c.resume()
+    eng_c.run(max_waves=25)
+    got = sorted(r["canonical_url"] for r in eng_c.crawl_order().collect())
+    assert got == expect
+
+
 def test_trap_filter_plan_broadcasts_dim_no_frontier_shuffle(spark):
     fr = _frontier(spark)
     plan = trap_filter(fr)._jdf.queryExecution().executedPlan().toString()
