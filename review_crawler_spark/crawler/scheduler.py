@@ -556,6 +556,11 @@ class CrawlEngine:
             self.store.drop_delta_partitions_below(
                 "bloom_log", self._frontier_base
             )
+            # trap evidence below the folded baseline is superseded by it
+            # (same snapshot invariant, same one-wave-later discipline)
+            self.store.drop_delta_partitions_below(
+                "trap_counts", self._frontier_base
+            )
             # url_seen + expiry tombstones below the committed seen baseline
             # are superseded by the folded live view — same snapshot
             # invariant, same one-wave-later GC discipline
@@ -720,16 +725,35 @@ class CrawlEngine:
         # (host, template) counts — distinct frontier entries, the right
         # min_urls evidence (one URL rediscovered 1000x is not a trap;
         # 1000 distinct URLs under one template is). Dim-sized, computed
-        # from the cached admitted rows.
-        if self.trap_gate and self.trap_cumulative and n_new > 0:
+        # from the cached admitted rows. On compaction waves the log is
+        # FOLDED: prior partitions + this wave sum into one baseline at
+        # w=new_base, and the one-wave-later GC drops everything below —
+        # without this the evidence read costs O(waves) partitions
+        # forever at a standing crawl (the same growth the url_seen log
+        # compaction exists for).
+        if self.trap_gate and self.trap_cumulative:
             from ..operators.traps import template_counts as _tc
 
             trap_delta = _tc(admitted, "canonical_url", "host")
-            writes.append(
-                lambda: self.store.append_delta(
-                    "trap_counts", wave, trap_delta
+            compacting_traps = new_base > self._frontier_base and (
+                self.store.base / "trap_counts"
+            ).exists()
+            if compacting_traps:
+                trap_delta = (
+                    trap_delta.unionByName(
+                        self.store.read_deltas(
+                            self.spark, "trap_counts", wave
+                        )
+                    )
+                    .groupBy("host", "template")
+                    .agg(F.sum("n_urls").alias("n_urls"))
                 )
-            )
+            if n_new > 0 or compacting_traps:
+                writes.append(
+                    lambda: self.store.append_delta(
+                        "trap_counts", wave + 1, trap_delta
+                    )
+                )
         # terminal failures: O(delta) append; n_err == 0 means no failed
         # rows at all this wave — skip the write job entirely
         # (failed_urls() tolerates missing wave partitions)
@@ -896,8 +920,11 @@ class CrawlEngine:
             if self.trap_cumulative and (
                 self.store.base / "trap_counts"
             ).exists():
+                # trap_counts partitions use the same w=wave+1 epoch as
+                # the frontier/url_seen logs; <= wave sees every committed
+                # wave and excludes a crash's orphan partition
                 cum = self.store.read_deltas(
-                    self.spark, "trap_counts", wave - 1
+                    self.spark, "trap_counts", wave
                 )
                 counts = (
                     counts.unionByName(cum)

@@ -223,6 +223,53 @@ def test_engine_cumulative_gate_catches_slow_burn_trap(spark, tmp_path):
     assert (store.base / "trap_counts").exists()
 
 
+def test_cumulative_trap_log_compacts_with_identical_gating(
+    spark, tmp_path
+):
+    """With compact_every set, the evidence log folds into a baseline on
+    the frontier's cadence and older partitions are GC'd one wave later
+    — the gated crawl set must be identical to the uncompacted run, and
+    the partition count must stay bounded instead of one-per-wave."""
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.site_graph import (
+        site_graph_df,
+        site_links_df,
+    )
+
+    site, seed_url = _slowburn_site()
+    kw = dict(
+        robots_rules={}, budget=50, num_bloom_shards=2, trap_gate=True,
+        trap_min_urls=8, trap_min_host_pct=50, trap_cumulative=True,
+    )
+    graph, links = site_graph_df(spark, site), site_links_df(spark, site)
+
+    plain_store = SnapshotStore(str(tmp_path / "plain"))
+    plain = CrawlEngine(spark, graph, links, plain_store, **kw)
+    plain.seed([(seed_url, 0, 1000)])
+    n_waves = len(plain.run(max_waves=25))
+    expect = sorted(
+        r["canonical_url"] for r in plain.crawl_order().collect()
+    )
+
+    comp_store = SnapshotStore(str(tmp_path / "compacted"))
+    comp = CrawlEngine(
+        spark, graph, links, comp_store, compact_every=3, **kw
+    )
+    comp.seed([(seed_url, 0, 1000)])
+    comp.run(max_waves=25)
+    got = sorted(r["canonical_url"] for r in comp.crawl_order().collect())
+    assert got == expect
+
+    plain_parts = len(list((plain_store.base / "trap_counts").glob("w=*")))
+    comp_parts = len(list((comp_store.base / "trap_counts").glob("w=*")))
+    # uncompacted: ~one partition per admitting wave; compacted: bounded
+    # by the compaction window (+1 for a just-written baseline)
+    assert comp_parts < plain_parts
+    assert comp_parts <= 4
+    assert n_waves >= 6
+
+
 def test_cumulative_trap_evidence_survives_kill_resume(spark, tmp_path):
     """The evidence log is store-backed: a crawl killed mid-way and
     resumed by a FRESH engine keeps gating on the accumulated counts —
