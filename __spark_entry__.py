@@ -1354,6 +1354,104 @@ FROM f LEFT JOIN reached r ON r.url = f.src
 """
 
 
+def _q_rel_canonical(spark, sf_dir):
+    """rel=canonical consolidation (RFC 6596): pages DECLARE their
+    canonical URL in markup; declarations chain (A→B, B→C) and want the
+    same pointer-doubling closure as 3xx redirects. Synthetic pages off
+    documents mirror the resolve_redirects topology — p{id}→p{id//2}
+    halving chains (every third page emits the href-first attribute
+    order), %5==0 pages declare nothing (dropped by the null filter),
+    and c-page 2-cycles exercise the unresolved branch. The oracle walks
+    the INTENT edges with a recursive CTE and never parses HTML, so the
+    markup extraction is independently checked through the composition."""
+    from review_crawler_spark.functions.html import rel_canonical
+    from review_crawler_spark.operators.redirects import resolve_redirects
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+
+    def pg(url_col, dst_col, reversed_order):
+        link = F.when(
+            dst_col.isNull(), F.lit("")
+        ).when(
+            reversed_order,
+            F.concat(
+                F.lit('<link href="'), dst_col, F.lit('" rel="canonical"/>')
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<link rel="canonical" href="'), dst_col, F.lit('"/>')
+            ),
+        )
+        return F.struct(
+            url_col.alias("url"),
+            F.concat(
+                F.lit("<html><head><title>t</title>"),
+                link,
+                F.lit("</head><body>x</body></html>"),
+            ).alias("html"),
+        )
+
+    chain = d.filter(k > 0).select(
+        pg(
+            F.concat(F.lit("p"), k),
+            F.when(
+                k % 5 != 0,
+                F.concat(F.lit("p"), (k / 2).cast("long")),
+            ),
+            k % 3 == 1,
+        ).alias("s")
+    )
+    cyc1 = d.filter(k % 100 == 7).select(
+        pg(
+            F.concat(F.lit("c"), k), F.concat(F.lit("c"), k + 1), F.lit(False)
+        ).alias("s")
+    )
+    cyc2 = d.filter(k % 100 == 8).select(
+        pg(
+            F.concat(F.lit("c"), k), F.concat(F.lit("c"), k - 1), F.lit(True)
+        ).alias("s")
+    )
+    pages = chain.unionByName(cyc1).unionByName(cyc2).select("s.*")
+    edges = pages.select(
+        F.col("url").alias("src"), rel_canonical(F.col("html")).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    return resolve_redirects(edges).orderBy("url")
+
+
+_SQL_REL_CANONICAL = """
+WITH RECURSIVE e AS (
+  SELECT 'p' || CAST(doc_id AS VARCHAR) AS src,
+         'p' || CAST(doc_id // 2 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id > 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'c' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id + 1 AS VARCHAR)
+  FROM documents WHERE doc_id % 100 = 7
+  UNION ALL
+  SELECT 'c' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id - 1 AS VARCHAR)
+  FROM documents WHERE doc_id % 100 = 8
+), f AS (
+  SELECT src, min(dst) AS dst FROM e GROUP BY src
+), chain AS (
+  SELECT src AS url, dst AS cur, 1 AS hops FROM f
+  UNION ALL
+  SELECT c.url, f.dst, c.hops + 1
+  FROM chain c JOIN f ON f.src = c.cur
+  WHERE c.hops < 32
+), reached AS (
+  SELECT c.url, c.cur AS final_url, c.hops
+  FROM chain c LEFT JOIN f t ON t.src = c.cur
+  WHERE t.src IS NULL
+)
+SELECT f.src AS url,
+       COALESCE(r.final_url, '') AS final_url,
+       CAST(COALESCE(r.hops, -1) AS INT) AS hops,
+       (r.url IS NOT NULL) AS resolved
+FROM f LEFT JOIN reached r ON r.url = f.src
+ORDER BY url
+"""
+
+
 def _q_jats_parse_extended(spark, sf_dir):
     """U1 extended-field round-trip: affiliations/rid resolution (J3/X20),
     corresponding-author emails + author match (J4), history dates + sanity
@@ -4168,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": _q_main_content,
         "warc_wet_extract": _q_warc_wet,
         "resolve_redirects": _q_resolve_redirects,
+        "rel_canonical_resolve": _q_rel_canonical,
         "url_trap_detect": _q_url_trap_detect,
         "frontier_prep_schedule": _q_frontier_prep,
         "dsir_select": _q_dsir_select,
@@ -4261,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY doc_id"
         ),
         "resolve_redirects": _SQL_RESOLVE_REDIRECTS,
+        "rel_canonical_resolve": _SQL_REL_CANONICAL,
         "url_trap_detect": _SQL_URL_TRAP_DETECT,
         "frontier_prep_schedule": _SQL_FRONTIER_PREP,
         "dsir_select": _SQL_DSIR_SELECT,

@@ -32,6 +32,30 @@ def clean_html(html: Column) -> Column:
     return out
 
 
+def rel_canonical(html: Column) -> Column:
+    """The page-declared canonical URL (RFC 6596 ``<link
+    rel="canonical">``), or NULL when the page declares none.
+
+    Two codegen'd regexp_extract passes cover both attribute orders real
+    pages emit (rel-first and href-first); whitespace between attributes
+    is tolerated. Crawl-side use: canonical declarations form edges
+    (page → canonical) that chain exactly like 3xx redirects — feed them
+    to operators/redirects.py::resolve_redirects to consolidate
+    duplicate URLs to their canonical terminals before frontier
+    admission (Google's canonicalization contract; the reference never
+    needs this because its three publishers serve one URL per article)."""
+    rel_first = F.regexp_extract(
+        html, r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1
+    )
+    href_first = F.regexp_extract(
+        html, r'(?i)<link\s+href="([^"]*)"\s+rel="canonical"', 1
+    )
+    return (
+        F.when(rel_first != "", rel_first)
+        .when(href_first != "", href_first)
+    )
+
+
 BANNED_TAGS_PATTERN = (
     r"(?is)<(script|style|noscript|rect|link)\b|<!--"
 )

@@ -89,3 +89,39 @@ def test_bad_max_hops(spark):
     df = spark.createDataFrame([Row(src="a", dst="b")])
     with pytest.raises(ValueError):
         resolve_redirects(df, max_hops=0)
+
+
+def test_rel_canonical_extraction_variants(spark):
+    """RFC 6596 link extraction: both attribute orders, whitespace,
+    case-insensitive tag, absent link -> NULL, first declaration wins."""
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.functions.html import rel_canonical
+
+    rows = [
+        ("a", '<head><link rel="canonical" href="https://x/1"/></head>'),
+        ("b", '<head><link href="https://x/2" rel="canonical"/></head>'),
+        ("c", '<head><LINK REL="canonical" HREF="https://x/3"/></head>'),
+        ("d", "<head><title>no link</title></head>"),
+        ("e", '<head><link rel="stylesheet" href="s.css"/></head>'),
+        (
+            "f",
+            '<head><link rel="canonical" href="https://x/first"/>'
+            '<link rel="canonical" href="https://x/second"/></head>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", rel_canonical(F.col("html")).alias("c")
+        ).collect()
+    }
+    assert got == {
+        "a": "https://x/1",
+        "b": "https://x/2",
+        "c": "https://x/3",
+        "d": None,
+        "e": None,
+        "f": "https://x/first",
+    }

@@ -179,6 +179,12 @@ AUDITED = {
         "verdict dim returns via BroadcastHashJoin — the corpus side "
         "never exchanges"
     ),
+    "rel_canonical_resolve": (
+        "markup extraction is two regexp_extract expressions in the page "
+        "projection (zero Python); the closure consumes localCheckpoint-"
+        "pinned pointer-doubling rounds (Scan ExistingRDD leaves), same "
+        "contract as resolve_redirects"
+    ),
     "url_trap_detect": (
         "URL templating is a codegen'd regexp_replace chain in the scan "
         "projection; ONE corpus-scan subtree — the (host, template) "
