@@ -1170,6 +1170,10 @@ SELECT d.doc_id,
   || a.authors_meta
   || coalesce(k.kw_meta, '')
   || '</head><body>'
+  || '<div class="bib-identity">https://doi.org/10.9999/synth.'
+  || CAST(d.doc_id AS VARCHAR)
+  || CASE WHEN d.doc_id % 7 = 3 THEN ' (registering DOI)' ELSE '' END
+  || '</div>'
   || CASE WHEN d.doc_id % 41 = 0
        THEN '<div>Retraction published on '
             || CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1
@@ -1623,7 +1627,7 @@ def _q_html_meta(spark, sf_dir):
         "doc_id", "title", "doi", "volume", "pub_year", "pub_month",
         F.size("authors").alias("n_authors"),
         F.size("keywords").alias("n_keywords"),
-        "retracted", "has_reviews", "reviews_url",
+        "retracted", "doi_registered", "has_reviews", "reviews_url",
     )
 
 
@@ -1638,6 +1642,7 @@ SELECT doc_id,
   CAST(1 + doc_id % 4 AS INT) AS n_authors,
   CAST(doc_id % 5 AS INT) AS n_keywords,
   doc_id % 41 = 0 AS retracted,
+  doc_id % 7 <> 3 AS doi_registered,
   doc_id % 3 = 0 AS has_reviews,
   CASE WHEN doc_id % 3 = 0
        THEN 'https://www.mdpi.com/synth/' || CAST(doc_id AS VARCHAR) || '/review_report'
@@ -1979,7 +1984,13 @@ def _q_review_rounds(spark, sf_dir):
         "doc_id",
         F.col("r.round").alias("round"),
         F.size("r.reviewers").alias("n_reviewers"),
-        F.array_join("r.reviewers", "|").alias("reviewer_names"),
+        F.array_join(F.col("r.reviewers.name"), "|").alias("reviewer_names"),
+        # reviewer numbers travel as their own field, as the reference's
+        # {'number','name'} dicts (mdpi_review_spider.py:112-116)
+        F.array_join(
+            F.transform("r.reviewers", lambda x: x["number"].cast("string")),
+            "|",
+        ).alias("reviewer_numbers"),
         F.col("r.has_author_response").alias("has_author_response"),
         F.size("r.supp_urls").alias("n_supp"),
     )
@@ -2001,6 +2012,10 @@ SELECT doc_id, round,
                 ELSE 'Reviewer' || CAST(doc_id AS VARCHAR) || '_'
                      || CAST(round AS VARCHAR) || '_' || CAST(n AS VARCHAR) END),
     '|') AS reviewer_names,
+  array_to_string(
+    list_transform(generate_series(1, CAST(1 + (doc_id + round) % 2 AS INT)),
+      n -> CAST(n AS VARCHAR)),
+    '|') AS reviewer_numbers,
   TRUE AS has_author_response,
   CAST(CASE WHEN (doc_id + round) % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_supp
 FROM rounds

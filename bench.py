@@ -371,6 +371,79 @@ def bench_audio_windows(spark, n: int = 20_000) -> float:
     return best
 
 
+def bench_ann_recall(spark, k: int = 10) -> dict:
+    """recall@k for every ANN variant vs the brute-force baseline — the
+    recall/latency frontier a 100 TB design choice needs on record
+    (round-4 VERDICT task 3). Eight deterministic query vectors drawn from
+    the corpus itself; recall = mean |approx ∩ exact| / k. Walls are NOT
+    reported here (the per-variant walls are separate bench entries) —
+    this section is pure quality."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.operators import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qids = [3, 117, 404, 777, 1024, 1337, 1555, 1901]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    exact = {
+        qid: {r["vec_id"] for r in S.cosine_topk(emb, vec, k=k).collect()}
+        for qid, vec in queries
+    }
+
+    def mean_recall(got_by_qid: dict) -> float:
+        return round(
+            sum(len(got_by_qid.get(q, set()) & exact[q]) for q, _ in queries)
+            / (len(queries) * k),
+            3,
+        )
+
+    out: dict[str, float] = {}
+    per_query = {
+        "lsh": lambda vec: S.ann_topk_lsh(emb, vec, k=k),
+        "ivf": lambda vec: S.ann_topk_ivf(emb, vec, k=k),
+        "pq": lambda vec: S.ann_topk_pq(emb, vec, k=k),
+    }
+    for name, fn in per_query.items():
+        got = {
+            qid: {r["vec_id"] for r in fn(vec).collect()} for qid, vec in queries
+        }
+        out[name] = mean_recall(got)
+
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries], "query_id long, query_vec array<double>"
+    )
+    ivf_path = tempfile.mkdtemp(prefix="bench_recall_ivf_")
+    ivfpq_path = tempfile.mkdtemp(prefix="bench_recall_ivfpq_")
+    try:
+        S.write_ivf_index(emb, ivf_path)
+        batch = S.ann_topk_ivf_indexed_batch(spark, ivf_path, qdf, k=k)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out["ivf_indexed_batch"] = mean_recall(got)
+
+        S.write_ivfpq_index(emb, ivfpq_path)
+        batch = S.ann_topk_ivfpq_indexed_batch(spark, ivfpq_path, qdf, k=k)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out["ivfpq_indexed_batch"] = mean_recall(got)
+    finally:
+        shutil.rmtree(ivf_path, ignore_errors=True)
+        shutil.rmtree(ivfpq_path, ignore_errors=True)
+    out["k"] = k
+    out["n_queries"] = len(queries)
+    return out
+
+
 def total_busy(dt: float = 2.0) -> float:
     """Host-wide busy cores over a short sample (/proc/stat, USER_HZ=100).
     THE canonical copy — the scaling harness imports these three helpers,
@@ -486,6 +559,28 @@ def run_bench(cpus: int) -> dict:
     host_pre = _host_calibration()
     spark = build_session(cpus)
     spark.range(1).count()  # JVM warmup
+    # ---- engine bench FIRST (round-4 VERDICT task 1): before two dozen
+    # query entries fragment the JVM heap and OS page cache, with its OWN
+    # host fingerprint immediately before and after, best-of-3 (fresh-JVM
+    # codegen warm-up inflates run 1 by 2x; measured 108/87/54 s on a
+    # cold JVM vs 31-33 s warm on the same host class), and a
+    # fingerprint-normalized wall (x memcpy/19.0, the r3 reference-day
+    # bandwidth in BENCH_MEMBW.json) so cross-round reads separate engine
+    # changes from host weather.
+    host_eng_pre = _host_calibration()
+    eng_runs_raw = []
+    eng_urls = 0
+    for _ in range(3):
+        _wait_host_idle(timeout=90)
+        dt, eng_urls = bench_engine_waves(spark)
+        eng_runs_raw.append(dt)
+        _clear_spark_state(spark)
+    host_eng_post = _host_calibration()
+    eng_runs = [round(s, 3) for s in eng_runs_raw]
+    eng_s = min(eng_runs_raw)
+    eng_memcpy = max(
+        host_eng_pre["memcpy_gbps"], host_eng_post["memcpy_gbps"]
+    )
     queries = {
         "tpch_q1": round(bench_query(spark, "tpch_q1"), 3),
         "flagship_frontier_schedule": round(
@@ -557,17 +652,6 @@ def run_bench(cpus: int) -> dict:
     frontier_s = min(s for s, _ in runs)
     n_out = runs[0][1]
     queries["frontier_pipeline"] = round(frontier_s, 3)
-    # best-of-2 like every other entry: round 2 recorded a single cold run
-    # that absorbed a host page-fault storm and read as a 2.2x engine
-    # regression — pairs of runs separate engine changes from host weather
-    _wait_host_idle(timeout=90)
-    eng_s, eng_urls = bench_engine_waves(spark)
-    _clear_spark_state(spark)
-    _wait_host_idle(timeout=90)
-    eng_s2, _ = bench_engine_waves(spark)
-    _clear_spark_state(spark)
-    eng_runs = [round(eng_s, 3), round(eng_s2, 3)]
-    eng_s = min(eng_s, eng_s2)
     queries["engine_waves"] = round(eng_s, 3)
     _wait_host_idle(timeout=60)
     standing = bench_standing_frontier(spark)
@@ -576,13 +660,22 @@ def run_bench(cpus: int) -> dict:
     queries["standing_frontier_wave"] = round(
         standing["secs"][1] / standing["waves_timed"], 3
     )
+    # quality, not wall: recall@10 per ANN variant vs brute force
+    ann_recall = bench_ann_recall(spark)
+    _clear_spark_state(spark)
     urls_per_sec = FRONTIER_N / frontier_s
     return {
+        "ann_recall_at_10": ann_recall,
         "engine_urls_per_sec": round(eng_urls / eng_s, 1),
         "engine_urls": eng_urls,
-        # both walls recorded so cold-vs-warm is distinguishable post hoc
-        # (round-3 VERDICT #8) — same for the headline's three runs
+        # all three walls recorded so cold-vs-warm is distinguishable post
+        # hoc (round-3 VERDICT #8) — same for the headline's three runs
         "engine_waves_runs": eng_runs,
+        # engine-bench-bracket fingerprints + normalized wall: read the
+        # engine metric as wall x memcpy / 19 GB/s (r3 reference day)
+        "engine_host_pre": host_eng_pre,
+        "engine_host_post": host_eng_post,
+        "engine_waves_normalized_19gbps": round(eng_s * eng_memcpy / 19.0, 3),
         "frontier_pipeline_runs": [round(s, 3) for s, _ in runs],
         # fixed 4k-URL wave delta over 150k vs 600k live queues: wall_ratio
         # far below size_ratio evidences the O(delta) commit shape

@@ -14,6 +14,51 @@ classpath the same engine code swaps `write.parquet` for
 `writeTo(...).append()` and the manifest for Iceberg's own snapshot — the
 interface below is the only seam (no Iceberg jars in this sandbox, per
 environment constraints).
+
+CONTRACT — what any backend (this stand-in, an Iceberg catalog, a Hive
+metastore) must provide so the swap is a backend change, not a rewrite.
+Conformance is pinned by tests/test_store_contract.py, which is written
+against THIS contract and parametrized over store implementations:
+
+1. **Atomic snapshot publish** (`commit_wave` / `latest_wave` / `read`):
+   a wave is visible iff its manifest publish completed; data files landing
+   before the publish are invisible to resume. Publish is a single atomic
+   rename (POSIX `os.rename` here; Iceberg: the catalog's atomic
+   metadata-pointer swap). `latest_wave()` = highest published snapshot,
+   never a half-written one.
+2. **O(delta) appends** (`append_delta`, `append_delta_bucketed`): each
+   wave writes only its delta, addressed by the integer epoch `w`; cost is
+   O(delta rows), never O(table). Iceberg: `append()` producing a new
+   snapshot; `w` maps to a partition field (identity transform).
+3. **Epoch-pruned reads** (`read_deltas`, `read_bucketed_deltas[_range]`):
+   reads prune to `w <= up_to` (and `>= from` for ranges) at the metadata
+   level — an uncommitted crash orphan at `w = N+1` is never observed.
+   Iceberg: partition pruning over manifests; orphans are invisible anyway
+   because a crashed write never committed its snapshot.
+4. **Last-writer-wins key resolution** (`read_deltas_lww`): for each key,
+   the row from the highest epoch wins. Iceberg: equivalent to a
+   merge-on-read position/equality delete or the same max_by aggregate.
+5. **Bucketed layout** (`append_delta_bucketed` / `read_bucketed_deltas`):
+   the table is clustered by the join key into a fixed bucket count, and
+   the scan REPORTS that clustering so equi-joins on the bucket columns
+   plan zero Exchange on the big side. Iceberg: `bucket(N, key)` partition
+   transform + storage-partitioned joins (SPJ,
+   `spark.sql.sources.v2.bucketing.enabled`).
+6. **Idempotent epoch replay** (`append_delta_bucketed` drop-before-write):
+   re-running a crashed wave replaces exactly its own `w=wave` partition —
+   commit is all-or-nothing per epoch. Iceberg: `overwritePartitions()` /
+   `RewriteFiles` in one transaction.
+7. **Partition GC below a committed baseline**
+   (`drop_[bucketed_]partitions_below`): epochs strictly below a COMMITTED
+   compaction baseline are unreachable by any read path and may be
+   reclaimed; calling with a non-committed baseline is a caller bug the
+   backend need not defend. Iceberg: `expireSnapshots` + orphan-file
+   removal after a compaction commit.
+8. **Catalog re-registration on resume** (`ensure_bucketed_registered`):
+   table metadata must be reconstructible from durable state (the on-disk
+   spec + partition dirs here; the catalog itself for Iceberg, where this
+   is a no-op) so a NEW session resumes with every committed partition
+   visible.
 """
 
 from __future__ import annotations

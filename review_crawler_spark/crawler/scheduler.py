@@ -914,8 +914,15 @@ class CrawlEngine:
                 url_template,
             )
 
+            # DISTINCT (host, url) first: the cumulative log stores distinct
+            # ADMITTED urls, so the gate must count the same unit — one
+            # legitimate URL re-linked 1000x in a wave is not a trap, and
+            # mixing occurrence counts into the cumulative sum would let it
+            # prune a host's real article template. The dedup shuffles only
+            # (host, canonical_url) of the wave delta.
             counts = template_counts(
-                allowed, url_col="canonical_url", host_col="host"
+                allowed.select("host", "canonical_url").distinct(),
+                url_col="canonical_url", host_col="host",
             )
             if self.trap_cumulative and (
                 self.store.base / "trap_counts"

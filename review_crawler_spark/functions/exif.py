@@ -165,7 +165,16 @@ def exif_from_jpeg(data: bytes) -> dict | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — consume them, same walk as _decode_jpeg (jpeg.py), so a
+        # padded third-party JPEG that decodes fine isn't quarantined here
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI — end of walk, no APP1 found
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

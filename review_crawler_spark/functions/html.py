@@ -37,22 +37,42 @@ def rel_canonical(html: Column) -> Column:
     rel="canonical">``), or NULL when the page declares none.
 
     Two codegen'd regexp_extract passes cover both attribute orders real
-    pages emit (rel-first and href-first); whitespace between attributes
-    is tolerated. Crawl-side use: canonical declarations form edges
+    pages emit (rel-first and href-first); intervening attributes
+    (``type=...`` between rel and href), either quote style, and unquoted
+    attribute values are all tolerated. Crawl-side use: canonical
+    declarations form edges
     (page → canonical) that chain exactly like 3xx redirects — feed them
     to operators/redirects.py::resolve_redirects to consolidate
     duplicate URLs to their canonical terminals before frontier
     admission (Google's canonicalization contract; the reference never
     needs this because its three publishers serve one URL per article)."""
     rel_first = F.regexp_extract(
-        html, r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1
+        html,
+        r'(?i)<link\b[^>]*\brel\s*=\s*["\']?canonical["\']?[^>]*'
+        r'\bhref\s*=\s*(?:"([^"]*)"|\'([^\']*)\'|([^\s"\'>]+))',
+        0,
     )
     href_first = F.regexp_extract(
-        html, r'(?i)<link\s+href="([^"]*)"\s+rel="canonical"', 1
+        html,
+        r'(?i)<link\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|\'([^\']*)\''
+        r'|([^\s"\'>]+))[^>]*\brel\s*=\s*["\']?canonical["\']?',
+        0,
     )
+
+    def _href(m: Column) -> Column:
+        # the href value whichever quote-style alternative matched
+        quoted = F.regexp_extract(m, r'(?i)href\s*=\s*"([^"]*)"', 1)
+        single = F.regexp_extract(m, r"(?i)href\s*=\s*'([^']*)'", 1)
+        bare = F.regexp_extract(m, r'''(?i)href\s*=\s*([^\s"'>]+)''', 1)
+        return (
+            F.when(quoted != "", quoted)
+            .when(single != "", single)
+            .when(bare != "", bare)
+        )
+
     return (
-        F.when(rel_first != "", rel_first)
-        .when(href_first != "", href_first)
+        F.when(rel_first != "", _href(rel_first))
+        .when(href_first != "", _href(href_first))
     )
 
 

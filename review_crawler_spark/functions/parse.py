@@ -58,13 +58,23 @@ _XLINK_HREF = "{http://www.w3.org/1999/xlink}href"
 HTML_OUT_SCHEMA = (
     "doc_id bigint, title string, doi string, journal_title string, "
     "volume int, pub_year int, pub_month int, authors array<string>, "
-    "keywords array<string>, retracted boolean, has_reviews boolean, "
-    "reviews_url string, parse_error string"
+    "keywords array<string>, retracted boolean, doi_registered boolean, "
+    "has_reviews boolean, reviews_url string, parse_error string"
 )
 
 _RETRACTION_RX = re.compile(r"Retraction published on \d+")
 _META_RX = re.compile(r'<meta name="([^"]+)" content="([^"]*)">')
 _REVIEW_LINK_RX = re.compile(r'<a href="([^"]*?/review_report)"')
+# Crossref DOI pattern + ' (registering DOI)' suffix — an unregistered DOI
+# marks an early-access page (mdpi_spider.py:7-8,89). Scoped to the
+# bib-identity div when present, mirroring the reference's
+# soup.find('div', {'class': 'bib-identity'}) extraction context.
+_BIB_IDENTITY_RX = re.compile(
+    r'<div class="bib-identity">(.*?)</div>', re.DOTALL
+)
+_UNREG_DOI_RX = re.compile(
+    r"https://doi\.org/10.\d{4,9}/[-._;()/:a-zA-Z0-9]+\s+\(registering\s+DOI\)"
+)
 
 
 # --------------------------------------------------------------- U1: JATS
@@ -444,6 +454,13 @@ def parse_html_meta(html: str) -> dict:
     kw = first("citation_keywords")
     review_m = _REVIEW_LINK_RX.search(html)
     raw_doi = first("citation_doi")
+    # doi_registered: True unless the bib-identity text carries the
+    # '(registering DOI)' marker (mdpi_spider.py:89 — unregistered probably
+    # means the article is in early access). Falls back to the whole page
+    # when no bib-identity div exists (the marker requires an adjacent DOI,
+    # so false positives can't arise elsewhere).
+    bib_m = _BIB_IDENTITY_RX.search(html)
+    scope = bib_m.group(1) if bib_m else html
     return {
         "title": first("citation_title"),
         "doi": f"https://doi.org/{raw_doi}" if raw_doi else None,
@@ -454,6 +471,7 @@ def parse_html_meta(html: str) -> dict:
         "authors": metas.get("citation_author", []),
         "keywords": kw.split("; ") if kw else [],
         "retracted": _RETRACTION_RX.search(html) is not None,
+        "doi_registered": _UNREG_DOI_RX.search(scope) is None,
         "has_reviews": review_m is not None,
         "reviews_url": review_m.group(1) if review_m else None,
     }
@@ -461,14 +479,28 @@ def parse_html_meta(html: str) -> dict:
 
 REVIEW_OUT_SCHEMA = (
     "doc_id bigint, rounds array<struct<round:int, "
-    "reviewers:array<string>, has_author_response:boolean, "
+    "reviewers:array<struct<number:int,name:string>>, "
+    "has_author_response:boolean, "
     "supp_urls:array<string>>>, n_rounds int, parse_error string"
 )
 
 _ROUND_RX = re.compile(r'<h2 class="round">Round (\d+)</h2>')
-_REVIEWER_RX = re.compile(r'<span class="reviewer">Reviewer \d+: ([^<]*)</span>')
+# number + name per reviewer, as the reference's {'number','name'} dicts
+# (mdpi_review_spider.py:112-116: NUMBERS_PATTERN on texts[0], texts[1])
+_REVIEWER_RX = re.compile(
+    r'<span class="reviewer">Reviewer (\d+): ([^<]*)</span>'
+)
 _AUTHOR_RX = re.compile(r'<div class="author-response">')
 _SUPP_RX = re.compile(r'<a class="supp" href="([^"]+)"')
+
+# Resubmission notice: reviews listed after it were copied from an earlier
+# submission and must not be re-extracted (mdpi_review_spider.py:13, and the
+# `if REPEATING_REVIEWS in text: break` section-walk cutoff at line 122).
+REPEATING_REVIEWS = (
+    "This manuscript is a resubmission of an earlier submission. The "
+    "following is a list of the peer review reports and author responses "
+    "from that submission."
+)
 
 
 def parse_review_html(html: str) -> dict:
@@ -476,7 +508,12 @@ def parse_review_html(html: str) -> dict:
 
     Round boundaries split the document; every extracted element belongs to
     the preceding Round header (document order), mirroring the reference's
-    section walk (mdpi_review_spider.py:101-197)."""
+    section walk (mdpi_review_spider.py:101-197). Content at or past the
+    resubmission notice is dropped entirely (the reference breaks its walk
+    there, mdpi_review_spider.py:122)."""
+    cut = html.find(REPEATING_REVIEWS)
+    if cut != -1:
+        html = html[:cut]
     rounds = []
     matches = list(_ROUND_RX.finditer(html))
     for i, m in enumerate(matches):
@@ -486,7 +523,10 @@ def parse_review_html(html: str) -> dict:
         rounds.append(
             {
                 "round": int(m.group(1)),
-                "reviewers": [unescape(x) for x in _REVIEWER_RX.findall(chunk)],
+                "reviewers": [
+                    {"number": int(num), "name": unescape(name)}
+                    for num, name in _REVIEWER_RX.findall(chunk)
+                ],
                 "has_author_response": _AUTHOR_RX.search(chunk) is not None,
                 "supp_urls": _SUPP_RX.findall(chunk),
             }
@@ -521,8 +561,8 @@ def parse_html_udf(pages: DataFrame, id_col: str = "doc_id", html_col: str = "ht
     defaults = {
         "title": None, "doi": None, "journal_title": None, "volume": None,
         "pub_year": None, "pub_month": None, "authors": None,
-        "keywords": None, "retracted": None, "has_reviews": None,
-        "reviews_url": None,
+        "keywords": None, "retracted": None, "doi_registered": None,
+        "has_reviews": None, "reviews_url": None,
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -516,10 +516,28 @@ def round_has_supp(article_id: int, rnd: int) -> bool:
     return (article_id + rnd) % 2 == 0
 
 
+def doi_registered_of(article_id: int) -> bool:
+    """Every 7th-ish article is early-access: its bib-identity DOI carries
+    the '(registering DOI)' marker (mdpi_spider.py:8,89)."""
+    return article_id % 7 != 3
+
+
+def is_resubmission_of(article_id: int) -> bool:
+    """Even reviewed articles are resubmissions: their review page repeats
+    the earlier submission's reports below the REPEATING_REVIEWS notice
+    (mdpi_review_spider.py:13)."""
+    return has_reviews_of(article_id) and article_id % 2 == 0
+
+
 def make_review_html(article_id: int) -> str:
     """Review-report page: rounds, per-round reviewer list, author response,
     supplementary-material links (what parse_reviews extracts,
-    /root/reference/crawling/crawling/spiders/mdpi_review_spider.py:101-197)."""
+    /root/reference/crawling/crawling/spiders/mdpi_review_spider.py:101-197).
+    Resubmitted articles additionally repeat the earlier submission's review
+    reports below the REPEATING_REVIEWS notice — a correct parser must stop
+    there (mdpi_review_spider.py:13,122)."""
+    from review_crawler_spark.functions.parse import REPEATING_REVIEWS
+
     a = article_id
     parts = ["<html><body><h1>Peer review report</h1>"]
     for rnd in range(1, n_rounds_of(a) + 1):
@@ -535,6 +553,16 @@ def make_review_html(article_id: int) -> str:
                 f'<a class="supp" href="https://www.mdpi.com/synth/{a}/supp/'
                 f'round{rnd}-materials.zip">Supplementary material</a>'
             )
+    if is_resubmission_of(a):
+        # the repeated block is shaped exactly like live rounds so a parser
+        # without the cutoff would over-extract it
+        parts.append(f"<p>{REPEATING_REVIEWS}</p>")
+        parts.append('<h2 class="round">Round 1</h2>')
+        parts.append(
+            '<div class="review"><span class="reviewer">'
+            "Reviewer 1: Earlier Submission Reviewer</span></div>"
+        )
+        parts.append('<div class="author-response">Author response</div>')
     parts.append("</body></html>")
     return "".join(parts)
 
@@ -584,6 +612,14 @@ def make_mdpi_html(article_id: int) -> str:
             + '">'
         )
     body = []
+    # bib-identity div: full DOI text, plus the '(registering DOI)' marker
+    # on early-access articles (mdpi_spider.py:89 reads doi/doi_registered
+    # out of exactly this div)
+    body.append(
+        f'<div class="bib-identity">{doi_of(a)}'
+        + ("" if doi_registered_of(a) else " (registering DOI)")
+        + "</div>"
+    )
     if retracted_of(a):
         body.append(f"<div>Retraction published on {pub_day_of(a) or 1} January 2024</div>")
     if has_reviews_of(a):

@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from xml.sax.saxutils import escape as xml_escape
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -154,9 +155,13 @@ def write_sitemaps(df: DataFrame, out_dir: str) -> DataFrame:
             for loc, lastmod, hint in zip(
                 pdf["loc"], pdf["lastmod"], pdf["priority_hint"]
             ):
-                parts.append("<url><loc>%s</loc>" % loc)
+                # sitemaps.org requires entity-escaped values; URLs with
+                # query strings ('&') would otherwise produce a urlset the
+                # reader rejects. ElementTree unescapes on read, so the
+                # roundtrip stays byte-faithful.
+                parts.append("<url><loc>%s</loc>" % xml_escape(loc))
                 if lastmod is not None and not pd.isna(lastmod):
-                    parts.append("<lastmod>%s</lastmod>" % lastmod)
+                    parts.append("<lastmod>%s</lastmod>" % xml_escape(str(lastmod)))
                 if hint is not None and not pd.isna(hint):
                     parts.append("<priority>%.2f</priority>" % hint)
                 parts.append("</url>")
@@ -175,10 +180,14 @@ def write_sitemaps(df: DataFrame, out_dir: str) -> DataFrame:
         '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
     ]
     for r in sorted(m["path"] for m in manifest):
-        index.append("<sitemap><loc>file://%s</loc></sitemap>" % r)
+        index.append("<sitemap><loc>file://%s</loc></sitemap>" % xml_escape(r))
     index.append("</sitemapindex>")
-    with open(os.path.join(out_dir, "sitemap-index.xml"), "w") as fh:
+    # same temp-name + rename discipline as the urlset segments: a crash
+    # mid-write must not leave a truncated index visible
+    idx_path = os.path.join(out_dir, "sitemap-index.xml")
+    with open(idx_path + ".inprogress", "w") as fh:
         fh.write("".join(index))
+    os.replace(idx_path + ".inprogress", idx_path)
     return df.sparkSession.createDataFrame(
         manifest, "path string, urls long"
     )

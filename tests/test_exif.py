@@ -95,6 +95,24 @@ def test_jfif_only_jpeg_yields_none():
     assert exif_from_jpeg(data) is None
 
 
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    A padded third-party JPEG decodes fine in _decode_jpeg, so the EXIF
+    walk must not quarantine it (round-4 ADVICE); trailing EOI padding
+    after the last segment ends the walk cleanly."""
+    for n in range(12):
+        iid = f"www.elifesciences.org/pix/{n}"
+        row = make_image(iid)
+        if row["fmt"] != "jpeg":
+            continue
+        data = bytes(row["bytes"])
+        # inject fill bytes before the first marker after SOI
+        padded = data[:2] + b"\xff\xff\xff" + data[2:]
+        assert exif_from_jpeg(padded) == image_exif_intent(iid)
+    # EOI immediately after SOI (with fill padding): no APP1, not an error
+    assert exif_from_jpeg(b"\xff\xd8\xff\xff\xff\xd9\x00\x00") is None
+
+
 def _scalar_orient(px, o: int):
     """Independent scalar reference: map every OUTPUT coordinate to its
     input pixel per the EXIF tag-274 mapping, one assignment at a time."""

@@ -146,12 +146,47 @@ def test_review_html_roundtrip():
         for r in got["rounds"]:
             rnd = r["round"]
             assert len(r["reviewers"]) == G.n_reviewers_of(a, rnd)
+            # {'number','name'} per reviewer (mdpi_review_spider.py:112-116)
             assert r["reviewers"] == [
-                G.reviewer_name_of(a, rnd, n)
+                {"number": n, "name": G.reviewer_name_of(a, rnd, n)}
                 for n in range(1, G.n_reviewers_of(a, rnd) + 1)
             ]
             assert r["has_author_response"]
             assert len(r["supp_urls"]) == (1 if G.round_has_supp(a, rnd) else 0)
+
+
+def test_review_resubmission_notice_cuts_walk():
+    """Reviews repeated from an earlier submission (below REPEATING_REVIEWS,
+    mdpi_review_spider.py:13,122) must not be re-extracted: 12 and 30 are
+    resubmissions, so their pages carry a decoy Round block past the notice
+    that a cutoff-less parser would count as an extra round."""
+    from review_crawler_spark.functions.parse import (
+        REPEATING_REVIEWS,
+        parse_review_html,
+    )
+
+    for a in (12, 30):
+        assert G.is_resubmission_of(a)
+        html = G.make_review_html(a)
+        assert REPEATING_REVIEWS in html
+        got = parse_review_html(html)
+        assert got["n_rounds"] == G.n_rounds_of(a)
+        assert all(
+            rv["name"] != "Earlier Submission Reviewer"
+            for r in got["rounds"]
+            for rv in r["reviewers"]
+        )
+
+
+def test_doi_registered_marker():
+    """'(registering DOI)' in bib-identity → doi_registered False
+    (mdpi_spider.py:8,89); every other page parses True."""
+    from review_crawler_spark.functions.parse import parse_html_meta
+
+    for a in (0, 3, 10, 17, 24, 41):
+        got = parse_html_meta(G.make_mdpi_html(a))
+        assert got["doi_registered"] == G.doi_registered_of(a)
+        assert got["doi_registered"] == (a % 7 != 3)
 
 
 def test_review_html_no_rounds_for_unreviewed():

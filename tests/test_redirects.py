@@ -109,6 +109,20 @@ def test_rel_canonical_extraction_variants(spark):
             '<head><link rel="canonical" href="https://x/first"/>'
             '<link rel="canonical" href="https://x/second"/></head>',
         ),
+        # intervening attributes, single quotes, unquoted values — common
+        # real-page forms (round-4 ADVICE)
+        (
+            "g",
+            '<head><link rel="canonical" type="text/html" '
+            'href="https://x/7"/></head>',
+        ),
+        ("h", "<head><link rel='canonical' href='https://x/8'/></head>"),
+        ("i", "<head><link rel=canonical href=https://x/9 /></head>"),
+        (
+            "j",
+            '<head><link title="t" href="https://x/10" media="all" '
+            'rel="canonical"/></head>',
+        ),
     ]
     df = spark.createDataFrame(rows, ["id", "html"])
     got = {
@@ -124,4 +138,8 @@ def test_rel_canonical_extraction_variants(spark):
         "d": None,
         "e": None,
         "f": "https://x/first",
+        "g": "https://x/7",
+        "h": "https://x/8",
+        "i": "https://x/9",
+        "j": "https://x/10",
     }

@@ -101,6 +101,26 @@ def test_scan_and_seed_round_trip(spark, tmp_path):
     assert str(a["lastmod_date"]) == "2026-02-01"
 
 
+def test_write_escapes_query_string_urls(spark, tmp_path):
+    """sitemaps.org requires entity-escaped loc values: URLs with '&'
+    (query strings, which the URL canonicalizer explicitly models) must
+    round-trip byte-faithfully instead of producing a urlset the reader
+    rejects (round-4 ADVICE)."""
+    locs = [
+        "https://m.com/search?a=1&b=2",
+        "https://m.com/p?q=<odd>&r='x'",
+        "https://m.com/plain",
+    ]
+    df = spark.createDataFrame(
+        [(u, "2026-03-01", 0.5) for u in locs],
+        "loc string, lastmod string, priority_hint double",
+    ).coalesce(1)
+    write_sitemaps(df, str(tmp_path / "maps"))
+    entries = scan_sitemaps(spark, str(tmp_path / "maps"))
+    got = {r["loc"] for r in entries.filter(F.col("kind") == "url").collect()}
+    assert got == set(locs)
+
+
 def test_seed_missing_fields_score_floor(spark):
     entries = spark.createDataFrame(
         [("m", "url", "https://m.com/x", None, None)],
