@@ -3899,12 +3899,17 @@ def _q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of the reference's three-publisher allow-list): URLs are
     templated by masking variable axes (digit runs → {N}, long hex runs →
     {H}, query values → =*), counted per (host, template) with map-side
-    partial agg, and flagged as traps by exact integer gates (has a
-    variable axis, >= MIN_URLS, >= MIN_HOST_PCT percent of the host's
-    frontier). Input: a deterministic frontier built from `orders` with
-    four shapes per host — a dominant paginated /article/{N} (trap), a
-    static /about/team (dominant but no variable axis), a hex session
-    path (variable but rare), and a /tag/{N} below the share gate."""
+    partial agg, and flagged as traps by exact integer gates (a
+    TRAP-ELIGIBLE axis shape — {H}, =*, or adjacent /{N}/{N} path
+    segments; literal-separated numeric axes are the legitimate
+    article/figure template shapes and exempt — plus >= MIN_URLS and
+    >= MIN_HOST_PCT percent of the host's frontier). Input: a
+    deterministic frontier built from `orders` with five shapes per
+    host — a dominant /cal?y=*&m=* calendar (trap, query axes), a
+    dominant /archive/{N}/{N}/post date path (trap, adjacent axes), a
+    dominant /article/{N} (eligibility-exempt: the protected article
+    template), a hex session path (eligible but rare), and a /tag/{N}
+    below both gates."""
     from review_crawler_spark.operators.traps import trap_stats
 
     orders = load(spark, sf_dir, "orders")
@@ -3913,10 +3918,23 @@ def _q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("h"), (k % 4).cast("string"), F.lit(".example.org")
     )
     path = (
-        F.when(k % 10 < 5, F.concat(F.lit("/article/"), k.cast("string")))
-        .when(k % 10 < 7, F.lit("/about/team"))
+        F.when(
+            k % 10 < 3,
+            F.concat(
+                F.lit("/cal?y="), (k % 5).cast("string"),
+                F.lit("&m="), (k % 12).cast("string"),
+            ),
+        )
         .when(
-            k % 10 < 8,
+            k % 10 < 6,
+            F.concat(
+                F.lit("/archive/"), (k % 5).cast("string"),
+                F.lit("/"), (k % 12).cast("string"), F.lit("/post"),
+            ),
+        )
+        .when(k % 10 < 9, F.concat(F.lit("/article/"), k.cast("string")))
+        .when(
+            k % 20 < 19,
             F.concat(
                 F.lit("/session/"), F.md5(k.cast("string")), F.lit("/view")
             ),
@@ -3938,10 +3956,15 @@ _SQL_URL_TRAP_DETECT = r"""
 WITH f AS (
   SELECT 'h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' AS host,
          'https://h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' ||
-         CASE WHEN o_orderkey % 10 < 5
+         CASE WHEN o_orderkey % 10 < 3
+                THEN '/cal?y=' || CAST(o_orderkey % 5 AS VARCHAR)
+                     || '&m=' || CAST(o_orderkey % 12 AS VARCHAR)
+              WHEN o_orderkey % 10 < 6
+                THEN '/archive/' || CAST(o_orderkey % 5 AS VARCHAR)
+                     || '/' || CAST(o_orderkey % 12 AS VARCHAR) || '/post'
+              WHEN o_orderkey % 10 < 9
                 THEN '/article/' || CAST(o_orderkey AS VARCHAR)
-              WHEN o_orderkey % 10 < 7 THEN '/about/team'
-              WHEN o_orderkey % 10 < 8
+              WHEN o_orderkey % 20 < 19
                 THEN '/session/' || md5(CAST(o_orderkey AS VARCHAR)) || '/view'
               ELSE '/tag/' || CAST(o_custkey % 50 AS VARCHAR)
          END AS url
@@ -3964,8 +3987,8 @@ WITH f AS (
 SELECT pt.host AS host, template,
        CAST(n_urls AS BIGINT) AS n_urls,
        CAST(host_n AS BIGINT) AS host_n,
-       CAST(CASE WHEN (template LIKE '%{N}%' OR template LIKE '%{H}%'
-                       OR template LIKE '%=*%')
+       CAST(CASE WHEN (template LIKE '%{H}%' OR template LIKE '%=*%'
+                       OR template LIKE '%/{N}/{N}%')
                   AND n_urls >= 50
                   AND n_urls * 100 >= host_n * 25
              THEN 1 ELSE 0 END AS INTEGER) AS is_trap
@@ -4043,8 +4066,14 @@ def _q_frontier_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("h"), (k % 4).cast("string"), F.lit(".example.org")
     )
     path = (
-        F.when(k % 10 < 5, F.concat(F.lit("/article/"), k.cast("string")))
-        .when(k % 10 < 7, F.lit("/about/team"))
+        F.when(
+            k % 10 < 4,
+            F.concat(
+                F.lit("/cal?y="), (k % 5).cast("string"),
+                F.lit("&m="), (k % 12).cast("string"),
+            ),
+        )
+        .when(k % 10 < 7, F.concat(F.lit("/article/"), k.cast("string")))
         .when(
             k % 10 < 8,
             F.concat(
@@ -4082,9 +4111,11 @@ _SQL_FRONTIER_PREP = r"""
 WITH f0 AS (
   SELECT 'h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' AS host,
          'https://h' || CAST(o_orderkey % 4 AS VARCHAR) || '.example.org' ||
-         CASE WHEN o_orderkey % 10 < 5
+         CASE WHEN o_orderkey % 10 < 4
+                THEN '/cal?y=' || CAST(o_orderkey % 5 AS VARCHAR)
+                     || '&m=' || CAST(o_orderkey % 12 AS VARCHAR)
+              WHEN o_orderkey % 10 < 7
                 THEN '/article/' || CAST(o_orderkey AS VARCHAR)
-              WHEN o_orderkey % 10 < 7 THEN '/about/team'
               WHEN o_orderkey % 10 < 8
                 THEN '/session/' || md5(CAST(o_orderkey AS VARCHAR)) || '/view'
               ELSE '/tag/' || CAST(o_custkey % 50 AS VARCHAR)
@@ -4111,8 +4142,8 @@ WITH f0 AS (
 ), traps AS (
   SELECT pt.host, template
   FROM pt JOIN ph USING (host)
-  WHERE (template LIKE '%{N}%' OR template LIKE '%{H}%'
-         OR template LIKE '%=*%')
+  WHERE (template LIKE '%{H}%' OR template LIKE '%=*%'
+         OR template LIKE '%/{N}/{N}%')
     AND n_urls >= 50 AND n_urls * 100 >= host_n * 25
 ), kept AS (
   SELECT t.host, t.canonical_url, t.priority

@@ -126,7 +126,8 @@ def bench_frontier_pipeline(spark, n: int) -> tuple[float, int]:
 
 
 def bench_engine_waves(
-    spark, pages=(4000, 1200, 1200), waves: int = 4, budget: int = 25000
+    spark, pages=(4000, 1200, 1200), waves: int = 4, budget: int = 25000,
+    **engine_kw,
 ) -> tuple[float, int]:
     """The REAL wave loop at scale: schedule (salted top-k) + fetch join +
     discovery + fused admission + checkpoint commit, over a
@@ -156,6 +157,7 @@ def bench_engine_waves(
         # page-0 fan-out emits n_pages+PAGE_COUNT+2 links on one page —
         # the seq encoding stride must exceed that
         seq_stride=1 << 14,
+        **engine_kw,
     )
     eng.seed(big_seeds(pages))
     t0 = time.time()
@@ -581,6 +583,18 @@ def run_bench(cpus: int) -> dict:
     eng_memcpy = max(
         host_eng_pre["memcpy_gbps"], host_eng_post["memcpy_gbps"]
     )
+    # both trap gates ON over the (trap-free) big site: the gate costs one
+    # partial-agg shuffle of the wave delta + a broadcast anti-join, so
+    # this must land within noise of engine_waves (round-4 VERDICT task 7;
+    # the golden parity test pins that the ORDER is bit-identical)
+    trap_runs = []
+    for _ in range(2):
+        _wait_host_idle(timeout=60)
+        dt, _ = bench_engine_waves(
+            spark, trap_gate=True, trap_cumulative=True
+        )
+        trap_runs.append(round(dt, 3))
+        _clear_spark_state(spark)
     queries = {
         "tpch_q1": round(bench_query(spark, "tpch_q1"), 3),
         "flagship_frontier_schedule": round(
@@ -653,6 +667,7 @@ def run_bench(cpus: int) -> dict:
     n_out = runs[0][1]
     queries["frontier_pipeline"] = round(frontier_s, 3)
     queries["engine_waves"] = round(eng_s, 3)
+    queries["engine_waves_trapgate"] = min(trap_runs)
     _wait_host_idle(timeout=60)
     standing = bench_standing_frontier(spark)
     _clear_spark_state(spark)

@@ -221,6 +221,20 @@ class CrawlEngine:
             self.frontier_buckets,
         )
         self._frontier_base = 0
+        # seed-template trust dim for the trap gate: templates the operator
+        # SEEDED are the crawl's designed navigation (the reference's own
+        # seed is paginated search, mdpi_spider.py:20 — query-templated,
+        # i.e. trap-shaped by the axis heuristics alone) and must never be
+        # pruned as traps. Tiny (host, template) dim, persisted so a
+        # resumed engine keeps the same trust set.
+        from ..operators.traps import url_template as _url_template
+
+        self.store.append_delta(
+            "seed_templates", 0,
+            ident.select(
+                "host", _url_template(F.col("canonical_url")).alias("template")
+            ).distinct(),
+        )
         seed_seen = seed_frontier.select(
             "url_hash", "canonical_url", F.lit(0).alias("first_wave"),
             bloom.shard_of(F.col("url_hash"), self.num_bloom_shards).alias(
@@ -945,6 +959,17 @@ class CrawlEngine:
                 .filter(F.col("is_trap") == 1)
                 .select("host", "template")
             )
+            # seed-template trust: never gate a template the operator
+            # seeded (designed navigation — e.g. paginated search, which
+            # the axis heuristics alone would flag). Dim-vs-dim anti-join.
+            if (self.store.base / "seed_templates").exists():
+                traps = traps.join(
+                    self.store.read_deltas(
+                        self.spark, "seed_templates", wave
+                    ),
+                    ["host", "template"],
+                    "left_anti",
+                )
             probed_t = allowed.withColumn(
                 "_tmpl", url_template(F.col("canonical_url"))
             )

@@ -25,10 +25,26 @@ hand-listing them:
      template with huge multiplicity, which is exactly what partial agg
      collapses before the wire).
   3. VERDICT per template in exact integer arithmetic: a (host,
-     template) is a trap iff it has a masked variable axis AND at least
-     ``min_urls`` URLs AND at least ``min_host_pct`` percent of its
-     host's frontier (``n_urls * 100 >= host_n * min_host_pct`` — no
-     float ratios, so the DuckDB oracle twin agrees bit-for-bit).
+     template) is a trap iff it has a TRAP-ELIGIBLE axis shape AND at
+     least ``min_urls`` URLs AND at least ``min_host_pct`` percent of
+     its host's frontier (``n_urls * 100 >= host_n * min_host_pct`` —
+     no float ratios, so the DuckDB oracle twin agrees bit-for-bit).
+
+     Eligible = contains ``{H}`` (session/hash mint), contains ``=*``
+     (query/facet/calendar axis), or ADJACENT numeric path segments
+     ``/{N}/{N}`` (date paths — the multiplicative-axis signature).
+     Numeric axes separated by literal text are NOT eligible:
+     ``/article/{N}``, ``/article/{N}/fig{N}.png``,
+     ``/article/{N}/review_report`` are the shapes of every legitimate
+     article/figure/review template, and on an article-heavy publisher
+     they lawfully dominate their host — counting them as traps would
+     prune the publisher's main content (pinned by the golden
+     trap-gate-on parity test over the reference site, which must be a
+     bit-exact no-op). The classic trap taxonomy (calendars, sessions,
+     faceted search — the sources above) is entirely inside the
+     eligible shapes; unbounded literal-separated pagination, the one
+     trap family this exempts, is already bounded by the engine's
+     per-host budgets (IRLbot's own defense for exactly that case).
   4. FILTER the frontier by broadcasting the trap dim (#trap-templates
      rows — tiny) into a LeftAnti broadcast hash join: the frontier
      itself never shuffles.
@@ -64,11 +80,15 @@ def url_template(url: Column) -> Column:
     return F.regexp_replace(t, r"[0-9]+", "{N}")
 
 
-def _has_variable_axis(template: Column) -> Column:
+def _trap_eligible(template: Column) -> Column:
+    """Axis shapes that can mint unbounded URL spaces (module doc §3):
+    {H}, query values, or adjacent numeric path segments — numeric axes
+    separated by literal text (article/figure/review templates) are
+    exempt."""
     return (
-        template.contains("{N}")
-        | template.contains("{H}")
+        template.contains("{H}")
         | template.contains("=*")
+        | template.contains("/{N}/{N}")
     )
 
 
@@ -110,7 +130,7 @@ def trap_verdicts(
         "n_urls",
         "host_n",
         (
-            _has_variable_axis(F.col("template"))
+            _trap_eligible(F.col("template"))
             & (F.col("n_urls") >= min_urls)
             & (F.col("n_urls") * 100 >= F.col("host_n") * min_host_pct)
         )

@@ -405,3 +405,31 @@ def test_dataframe_seed_golden(spark, tmp_path, sim_result):
     assert order == sim_result.fetch_order
     seen = {r["canonical_url"] for r in eng.url_seen_set().collect()}
     assert seen == sim_result.url_seen
+
+
+def test_trap_gate_on_is_noop_on_trap_free_site(spark, tmp_path, sim_result):
+    """Both trap gates engaged (wave-local AND cumulative, default
+    thresholds) over the trap-free reference site: the gate must be a
+    bit-exact no-op — identical crawl order and url_seen set vs the golden
+    simulator (round-4 VERDICT task 7). This pins that the gate only ever
+    prunes templates meeting the evidence thresholds, never legitimate
+    article templates."""
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_trapgate")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        trap_gate=True,
+        trap_cumulative=True,
+    )
+    eng.seed(seeds())
+    eng.run(max_waves=100)
+    order = [
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    ]
+    assert order == sim_result.fetch_order
+    seen = {r["canonical_url"] for r in eng.url_seen_set().collect()}
+    assert seen == sim_result.url_seen

@@ -384,3 +384,73 @@ def test_standing_soak_full_store_partitions_bounded(spark, tmp_path):
             f"{name} partitions unbounded: peak {max_parts[name]} > {bound} "
             f"over {waves} waves"
         )
+
+
+def test_single_numeric_axis_template_is_exempt(spark):
+    """Dominant literal-separated numeric templates (the legitimate
+    article/figure shapes) must NOT be traps even far above both gates;
+    adjacent /{N}/{N} date paths stay eligible. Pins the eligibility rule
+    that keeps the cumulative gate a no-op on article-heavy publishers
+    (the golden trap-gate-on parity test is the end-to-end witness)."""
+    rows = [("p.org", f"https://p.org/article/{i}") for i in range(120)]
+    rows += [
+        ("p.org", f"https://p.org/article/{i}/fig{i % 3}.png")
+        for i in range(120)
+    ]
+    rows += [
+        ("p.org", f"https://p.org/archive/{i % 5}/{i % 12}/post")
+        for i in range(120)
+    ]
+    fr = spark.createDataFrame(rows, ["host", "canonical_url"])
+    stats = {
+        r["template"]: r["is_trap"]
+        for r in trap_stats(fr, min_urls=50, min_host_pct=25).collect()
+    }
+    assert stats["/article/{N}"] == 0
+    assert stats["/article/{N}/fig{N}.png"] == 0
+    assert stats["/archive/{N}/{N}/post"] == 1
+
+
+def test_seeded_query_template_is_trusted(spark, tmp_path):
+    """Seed-template trust: a SEEDED query-templated navigation family
+    (paginated search — the reference's own seed shape, mdpi_spider.py:20)
+    must never be gated even when it dominates discovery, while an
+    un-seeded query template on the same host is still pruned."""
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+    from review_crawler_spark.sources.sitegen import Page
+    from review_crawler_spark.sources.site_graph import (
+        site_graph_df,
+        site_links_df,
+    )
+
+    host = "t.example.org"
+    seed_url = f"https://{host}/search?page_no=0"
+    links = []
+    for p in range(1, 9):  # search pagination dominates the fan-out
+        links.append((f"https://{host}/search?page_no={p}", p, 50))
+    for d in range(6):  # un-seeded calendar trap on the same host
+        links.append((f"https://{host}/cal?d={d}", 9 + d, 10))
+    site = {seed_url: Page(seed_url, host, "search", 0, 1, links)}
+    for u, _i, _p in links:
+        site[u] = Page(u, host, "search" if "search" in u else "article")
+    eng = CrawlEngine(
+        spark,
+        site_graph_df(spark, site),
+        site_links_df(spark, site),
+        SnapshotStore(str(tmp_path / "trust")),
+        robots_rules={},
+        num_bloom_shards=2,
+        trap_gate=True,
+        trap_cumulative=True,
+        trap_min_urls=4,
+        trap_min_host_pct=10,
+    )
+    eng.seed([(seed_url, 0, 1000)])
+    eng.run(max_waves=6)
+    order = [
+        r["canonical_url"]
+        for r in eng.crawl_order().select("canonical_url").collect()
+    ]
+    assert sum("/search?" in u for u in order) == 9  # all pagination crawled
+    assert not any("/cal?" in u for u in order)  # trap still gated
