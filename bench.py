@@ -230,6 +230,74 @@ def bench_standing_frontier(
     }
 
 
+def bench_standing_soak(
+    spark, n: int = 300_000, hosts: int = 8, budget: int = 500,
+    waves: int = 50, compact_every: int = 8,
+) -> dict:
+    """Long-soak standing crawl (round-4 VERDICT task 4): ~50 waves over a
+    large live queue with compaction engaged. Evidence recorded: the
+    per-wave wall curve stays FLAT (last-5 mean ~ first-5 mean — no
+    O(history) creep) and the store's partition listings stay bounded by
+    the compaction window instead of one-per-wave. The pytest twin
+    (tests/test_traps.py::test_standing_soak_full_store_partitions_bounded)
+    pins the same bound with the trap log engaged; this entry records the
+    wall curve at bench scale."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from review_crawler_spark.crawler.checkpoint import SnapshotStore
+    from review_crawler_spark.crawler.scheduler import CrawlEngine
+
+    urls = spark.range(n).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % hosts).cast("string"),
+            F.lit(".example.org/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.col("id").alias("seq"),
+        F.lit(1).cast("long").alias("priority"),
+    )
+    graph = urls.select(
+        "url", F.lit("article").alias("kind"), F.lit(200).alias("status")
+    )
+    links = spark.createDataFrame(
+        [], "page_url string, link_url string, link_pri int, link_idx int"
+    )
+    rules = {f"h{i}.example.org": ((), None) for i in range(hosts)}
+    store = SnapshotStore(tempfile.mkdtemp(prefix="bench_soak_"))
+    eng = CrawlEngine(
+        spark, site_graph=graph, site_links=links, store=store,
+        budget=budget, robots_rules=rules,
+        num_bloom_shards=max(16, spark.sparkContext.defaultParallelism),
+        compact_every=compact_every,
+    )
+    eng.seed(urls)
+    eng.run_wave()  # warm-up off the clock
+    walls, parts = [], {"frontier_log": 0, "url_seen": 0, "bloom_log": 0}
+    for _ in range(waves):
+        t0 = time.time()
+        eng.run_wave()
+        walls.append(round(time.time() - t0, 3))
+        for name in parts:
+            d = store.base / name
+            if d.exists():
+                parts[name] = max(parts[name], len(list(d.glob("w=*"))))
+    first5 = sum(walls[:5]) / 5
+    last5 = sum(walls[-5:]) / 5
+    return {
+        "waves": waves,
+        "queue_size": n,
+        "delta_per_wave": hosts * budget,
+        "compact_every": compact_every,
+        "wall_first5_mean": round(first5, 3),
+        "wall_last5_mean": round(last5, 3),
+        "wall_flatness": round(last5 / first5, 3),
+        "max_log_partitions": parts,
+        "partition_bound": compact_every + 2,
+        "walls": walls,
+    }
+
+
 def _clear_spark_state(spark) -> None:
     """Unpersist every lingering cached / localCheckpoint block between
     timed entries. Eager localCheckpoints pin storage memory for the life
@@ -408,10 +476,16 @@ def bench_ann_recall(spark, k: int = 10) -> dict:
         )
 
     out: dict[str, float] = {}
+    # two points per variant: the DEFAULT setting (matches the wall entries
+    # elsewhere in this suite) and one wider-probe setting — the
+    # recall-vs-probe-cost frontier a 100 TB deployment tunes on
     per_query = {
         "lsh": lambda vec: S.ann_topk_lsh(emb, vec, k=k),
+        "lsh_h3": lambda vec: S.ann_topk_lsh(emb, vec, k=k, max_hamming=3),
         "ivf": lambda vec: S.ann_topk_ivf(emb, vec, k=k),
+        "ivf_probe8": lambda vec: S.ann_topk_ivf(emb, vec, k=k, nprobe=8),
         "pq": lambda vec: S.ann_topk_pq(emb, vec, k=k),
+        "pq_rerank150": lambda vec: S.ann_topk_pq(emb, vec, k=k, rerank=150),
     }
     for name, fn in per_query.items():
         got = {
@@ -422,22 +496,34 @@ def bench_ann_recall(spark, k: int = 10) -> dict:
     qdf = spark.createDataFrame(
         [(qid, vec) for qid, vec in queries], "query_id long, query_vec array<double>"
     )
+
+    def batch_recall(fn) -> float:
+        got: dict = {}
+        for r in fn().collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return mean_recall(got)
+
     ivf_path = tempfile.mkdtemp(prefix="bench_recall_ivf_")
     ivfpq_path = tempfile.mkdtemp(prefix="bench_recall_ivfpq_")
     try:
         S.write_ivf_index(emb, ivf_path)
-        batch = S.ann_topk_ivf_indexed_batch(spark, ivf_path, qdf, k=k)
-        got = {}
-        for r in batch.collect():
-            got.setdefault(r["query_id"], set()).add(r["vec_id"])
-        out["ivf_indexed_batch"] = mean_recall(got)
-
+        out["ivf_indexed_batch"] = batch_recall(
+            lambda: S.ann_topk_ivf_indexed_batch(spark, ivf_path, qdf, k=k)
+        )
+        out["ivf_indexed_batch_probe8"] = batch_recall(
+            lambda: S.ann_topk_ivf_indexed_batch(
+                spark, ivf_path, qdf, k=k, nprobe=8
+            )
+        )
         S.write_ivfpq_index(emb, ivfpq_path)
-        batch = S.ann_topk_ivfpq_indexed_batch(spark, ivfpq_path, qdf, k=k)
-        got = {}
-        for r in batch.collect():
-            got.setdefault(r["query_id"], set()).add(r["vec_id"])
-        out["ivfpq_indexed_batch"] = mean_recall(got)
+        out["ivfpq_indexed_batch"] = batch_recall(
+            lambda: S.ann_topk_ivfpq_indexed_batch(spark, ivfpq_path, qdf, k=k)
+        )
+        out["ivfpq_indexed_batch_probe8_rerank150"] = batch_recall(
+            lambda: S.ann_topk_ivfpq_indexed_batch(
+                spark, ivfpq_path, qdf, k=k, nprobe=8, rerank=150
+            )
+        )
     finally:
         shutil.rmtree(ivf_path, ignore_errors=True)
         shutil.rmtree(ivfpq_path, ignore_errors=True)
@@ -671,6 +757,9 @@ def run_bench(cpus: int) -> dict:
     _wait_host_idle(timeout=60)
     standing = bench_standing_frontier(spark)
     _clear_spark_state(spark)
+    _wait_host_idle(timeout=60)
+    soak = bench_standing_soak(spark)
+    _clear_spark_state(spark)
     # per-wave wall at the LARGE standing queue — the north-rule shape
     queries["standing_frontier_wave"] = round(
         standing["secs"][1] / standing["waves_timed"], 3
@@ -695,6 +784,9 @@ def run_bench(cpus: int) -> dict:
         # fixed 4k-URL wave delta over 150k vs 600k live queues: wall_ratio
         # far below size_ratio evidences the O(delta) commit shape
         "standing_frontier": standing,
+        # ~50-wave soak with compaction engaged: flat wall curve + bounded
+        # partition listings (round-4 VERDICT task 4)
+        "standing_soak": soak,
         "metric": "frontier_urls_scheduled_fetched_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",
