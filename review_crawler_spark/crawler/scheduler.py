@@ -185,6 +185,10 @@ class CrawlEngine:
         self.trap_min_urls = trap_min_urls
         self.trap_min_host_pct = trap_min_host_pct
         self.trap_cumulative = trap_cumulative
+        # seed-template trust dim, cached on first gate use: written once
+        # at seed() and immutable for the crawl, so re-reading the store
+        # every wave would pay a listing+scan job per wave for nothing
+        self._seed_tmpl_cache: DataFrame | None = None
 
     # ------------------------------------------------------------- seeding
     def _seed_raw(self, seed_rows) -> DataFrame:
@@ -912,74 +916,6 @@ class CrawlEngine:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         ident = with_url_identity(links)
         allowed = filter_allowed(ident, self.disallow)
-        if self.trap_gate:
-            # trap mining (operators/traps.py): a calendar or session
-            # trap manifests as one (host, template) dominating the
-            # discovery stream — prune it before it floods the frontier.
-            # Evidence = this wave's batch counts, plus (cumulative mode)
-            # the store's admitted-count log — a dim-sized read that
-            # catches traps dripping a few URLs per wave. Costs one
-            # partial-agg shuffle of the WAVE DELTA (never the standing
-            # frontier); off by default so the golden reference-parity
-            # order is untouched.
-            from ..operators.traps import (
-                template_counts,
-                trap_verdicts,
-                url_template,
-            )
-
-            # DISTINCT (host, url) first: the cumulative log stores distinct
-            # ADMITTED urls, so the gate must count the same unit — one
-            # legitimate URL re-linked 1000x in a wave is not a trap, and
-            # mixing occurrence counts into the cumulative sum would let it
-            # prune a host's real article template. The dedup shuffles only
-            # (host, canonical_url) of the wave delta.
-            counts = template_counts(
-                allowed.select("host", "canonical_url").distinct(),
-                url_col="canonical_url", host_col="host",
-            )
-            if self.trap_cumulative and (
-                self.store.base / "trap_counts"
-            ).exists():
-                # trap_counts partitions use the same w=wave+1 epoch as
-                # the frontier/url_seen logs; <= wave sees every committed
-                # wave and excludes a crash's orphan partition
-                cum = self.store.read_deltas(
-                    self.spark, "trap_counts", wave
-                )
-                counts = (
-                    counts.unionByName(cum)
-                    .groupBy("host", "template")
-                    .agg(F.sum("n_urls").alias("n_urls"))
-                )
-            traps = (
-                trap_verdicts(
-                    counts, self.trap_min_urls, self.trap_min_host_pct
-                )
-                .filter(F.col("is_trap") == 1)
-                .select("host", "template")
-            )
-            # seed-template trust: never gate a template the operator
-            # seeded (designed navigation — e.g. paginated search, which
-            # the axis heuristics alone would flag). Dim-vs-dim anti-join.
-            if (self.store.base / "seed_templates").exists():
-                traps = traps.join(
-                    self.store.read_deltas(
-                        self.spark, "seed_templates", wave
-                    ),
-                    ["host", "template"],
-                    "left_anti",
-                )
-            probed_t = allowed.withColumn(
-                "_tmpl", url_template(F.col("canonical_url"))
-            )
-            allowed = probed_t.join(
-                F.broadcast(traps),
-                (probed_t["host"] == traps["host"])
-                & (probed_t["_tmpl"] == traps["template"]),
-                "left_anti",
-            ).drop("_tmpl")
-
         if self.use_bloom:
             # fused in-batch dedup + bloom probe: ONE shard-keyed shuffle
             # keeps the (priority DESC, seq ASC) winner per url_hash —
@@ -1002,6 +938,8 @@ class CrawlEngine:
             # after commit — otherwise they accumulate in executor storage
             # for the whole crawl
             self._probed = probed
+            if self.trap_gate:
+                probed = self._apply_trap_gate(probed, wave)
             fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
             # exact confirm on BOTH url_hash and canonical_url: dedup by the
@@ -1019,6 +957,13 @@ class CrawlEngine:
                     F.struct((-F.col("priority")).alias("np"), F.col("seq")),
                 ).alias("r")
             ).select("url_hash", "r.*")
+            if self.trap_gate:
+                # checkpoint: the gate consumes best in two plan branches
+                # (counts + the anti-join probe); released after commit
+                # through the same _probed handle as the bloom branch
+                best = best.localCheckpoint(eager=True)
+                self._probed = best
+                best = self._apply_trap_gate(best, wave)
             new = best.join(
                 self.url_seen.select("url_hash", "canonical_url"),
                 ["url_hash", "canonical_url"], "left_anti",
@@ -1031,6 +976,73 @@ class CrawlEngine:
             F.lit(wave + 1).alias("wave"), F.col("seq").cast("long"),
             F.lit("queued").alias("state"), F.lit(0).alias("attempt"),
         )
+
+    def _apply_trap_gate(self, cands: DataFrame, wave: int) -> DataFrame:
+        """Trap mining over the wave's admission candidates
+        (operators/traps.py): a calendar or session trap manifests as one
+        (host, template) dominating the discovery stream — prune it before
+        it floods the frontier. Evidence = this wave's batch counts, plus
+        (cumulative mode) the store's admitted-count log — a dim-sized
+        read that catches traps dripping a few URLs per wave.
+
+        Runs AFTER the in-batch winner-per-url_hash dedup, so the
+        candidate rows are already DISTINCT (host, canonical_url) — the
+        same unit the cumulative log stores (one URL re-linked 1000x is
+        not a trap) — and the gate reuses the dedup's materialized output
+        instead of shuffling the pre-dedup delta a second time: its only
+        wide operation is the map-side-collapsed (host, template) partial
+        agg. Off by default so the golden reference-parity order is
+        untouched; with the gate ON over a trap-free site the crawl is
+        bit-identical (golden parity test)."""
+        from ..operators.traps import (
+            template_counts,
+            trap_verdicts,
+            url_template,
+        )
+
+        counts = template_counts(
+            cands, url_col="canonical_url", host_col="host"
+        )
+        if self.trap_cumulative and (
+            self.store.base / "trap_counts"
+        ).exists():
+            # trap_counts partitions use the same w=wave+1 epoch as the
+            # frontier/url_seen logs; <= wave sees every committed wave
+            # and excludes a crash's orphan partition
+            cum = self.store.read_deltas(self.spark, "trap_counts", wave)
+            counts = (
+                counts.unionByName(cum)
+                .groupBy("host", "template")
+                .agg(F.sum("n_urls").alias("n_urls"))
+            )
+        traps = (
+            trap_verdicts(counts, self.trap_min_urls, self.trap_min_host_pct)
+            .filter(F.col("is_trap") == 1)
+            .select("host", "template")
+        )
+        # seed-template trust: never gate a template the operator seeded
+        # (designed navigation — e.g. paginated search, which the axis
+        # heuristics alone would flag). Dim-vs-dim anti-join; the dim is
+        # immutable so it is read once and cached.
+        if self._seed_tmpl_cache is None and (
+            self.store.base / "seed_templates"
+        ).exists():
+            self._seed_tmpl_cache = self.store.read_deltas(
+                self.spark, "seed_templates", wave
+            ).cache()
+        if self._seed_tmpl_cache is not None:
+            traps = traps.join(
+                self._seed_tmpl_cache, ["host", "template"], "left_anti"
+            )
+        tagged = cands.withColumn(
+            "_tmpl", url_template(F.col("canonical_url"))
+        )
+        return tagged.join(
+            F.broadcast(traps),
+            (tagged["host"] == traps["host"])
+            & (tagged["_tmpl"] == traps["template"]),
+            "left_anti",
+        ).drop("_tmpl")
 
     # ------------------------------------------------------------- full run
     def run(self, max_waves: int = 100) -> list[WaveStats]:
