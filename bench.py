@@ -675,17 +675,22 @@ def run_bench(cpus: int) -> dict:
     eng_memcpy = max(
         host_eng_pre["memcpy_gbps"], host_eng_post["memcpy_gbps"]
     )
-    # both trap gates ON over the (trap-free) big site: the gate costs one
-    # partial-agg shuffle of the wave delta + a broadcast anti-join, so
-    # this must land within noise of engine_waves (round-4 VERDICT task 7;
-    # the golden parity test pins that the ORDER is bit-identical)
-    trap_runs = []
+    # both trap gates ON over the (trap-free) big site (round-4 VERDICT
+    # task 7; the golden parity test pins that the ORDER is bit-identical).
+    # Measured as ADJACENT off/on pairs: a lone gate-on wall hours of
+    # weather away from the gate-off reading once read as +63% when the
+    # controlled same-JVM A/B measured -1% — the pair ratio is the
+    # weather-robust estimator (same trick as the scaling sandwich).
+    trap_runs, trap_ratios = [], []
     for _ in range(2):
         _wait_host_idle(timeout=60)
-        dt, _ = bench_engine_waves(
+        off_dt, _ = bench_engine_waves(spark)
+        _clear_spark_state(spark)
+        on_dt, _ = bench_engine_waves(
             spark, trap_gate=True, trap_cumulative=True
         )
-        trap_runs.append(round(dt, 3))
+        trap_runs.append(round(on_dt, 3))
+        trap_ratios.append(round(on_dt / off_dt, 3))
         _clear_spark_state(spark)
     queries = {
         "tpch_q1": tpch_q1_s,
@@ -786,6 +791,10 @@ def run_bench(cpus: int) -> dict:
         "engine_host_pre": host_eng_pre,
         "engine_host_post": host_eng_post,
         "engine_waves_normalized_19gbps": round(eng_s * eng_memcpy / 19.0, 3),
+        # adjacent gate-on/gate-off wall ratios (one per interleaved pair):
+        # the weather-robust gate-cost estimate — read THIS, not the
+        # cross-section trapgate wall, for the within-noise claim
+        "engine_trapgate_pair_ratios": trap_ratios,
         "frontier_pipeline_runs": [round(s, 3) for s, _ in runs],
         # fixed 4k-URL wave delta over 150k vs 600k live queues: wall_ratio
         # far below size_ratio evidences the O(delta) commit shape
