@@ -1652,6 +1652,61 @@ FROM documents
 
 
 
+def _q_article_metadata(spark, sf_dir):
+    """The reference's end product assembled end-to-end: one metadata
+    record per article from BOTH acquisition paths joined on doc_id — the
+    JATS XML parse (authoritative bibliographic fields + sub-article
+    counts, rarticle.py) and the crawled HTML page parse (early-access
+    `doi_registered` from the bib-identity div, review-report link —
+    mdpi_spider.py:49-106). The schema mirrors the fixture-fidelity
+    ARTICLES_SCHEMA scalars (schemas.py), so the declared doi_registered
+    column is populated sink-to-sink. Join shape: two Arrow parse passes
+    over the same id scan, equi-joined on the 8-byte key — at 100 TB both
+    sides partition on doc_id and the join co-locates; no corpus bytes
+    move, only parsed scalars."""
+    from review_crawler_spark.functions.parse import (
+        parse_html_udf,
+        parse_jats_udf,
+    )
+    from review_crawler_spark.sources.corpus import html_corpus, jats_corpus
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    jats = parse_jats_udf(jats_corpus(ids)).select(
+        "doc_id", "doi", "title", "volume", "issue",
+        "pub_year", "pub_month", "pub_day",
+        F.size("authors").alias("n_authors"),
+        "retracted", "n_sub_articles",
+    )
+    html = parse_html_udf(html_corpus(ids)).select(
+        "doc_id", "doi_registered", "has_reviews", "reviews_url",
+    )
+    return jats.join(html, "doc_id")
+
+
+_SQL_ARTICLE_METADATA = """
+SELECT doc_id,
+  'https://doi.org/10.9999/synth.' || CAST(doc_id AS VARCHAR) AS doi,
+  'Synthetic study ' || CAST(doc_id AS VARCHAR) || ' on parameter '
+    || CAST(doc_id % 7 AS VARCHAR) AS title,
+  CAST(1 + doc_id % 20 AS INT) AS volume,
+  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(1 + doc_id % 4 AS INT) END AS issue,
+  CAST(2015 + doc_id % 10 AS INT) AS pub_year,
+  CAST(1 + doc_id % 12 AS INT) AS pub_month,
+  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(1 + doc_id % 28 AS INT) END AS pub_day,
+  CAST(1 + doc_id % 4 AS INT) AS n_authors,
+  doc_id % 41 = 0 AS retracted,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 2 * (1 + doc_id % 3) + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+       ELSE 0 END AS INT) AS n_sub_articles,
+  doc_id % 7 <> 3 AS doi_registered,
+  doc_id % 3 = 0 AS has_reviews,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'https://www.mdpi.com/synth/' || CAST(doc_id AS VARCHAR) || '/review_report'
+       ELSE NULL END AS reviews_url
+FROM documents
+"""
+
+
 def _q_f_filters(spark, sf_dir):
     """F1/F3/F6/F7 filter battery: boolean key, extension, skip-list, domain
     scope — composed as one predicate chain over documents."""
@@ -4321,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sub_articles_explode": _q_sub_articles_explode,
         "html_meta_extract": _q_html_meta,
+        "article_metadata_assemble": _q_article_metadata,
         "f_filters_battery": _q_f_filters,
         "a6_learn_search_pages": _q_a6_learn_pages,
         "x21_flatten_dedup": _q_x21_flatten_dedup,
@@ -4415,6 +4471,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _SQL_WINNOW,
         "sub_articles_explode": _SQL_SUB_ARTICLES,
         "html_meta_extract": _SQL_HTML_META,
+        "article_metadata_assemble": _SQL_ARTICLE_METADATA,
         "f_filters_battery": _SQL_F_FILTERS,
         "a6_learn_search_pages": _SQL_A6_PAGES,
         "x21_flatten_dedup": _SQL_X21_FLATTEN,
