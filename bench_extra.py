@@ -41,21 +41,33 @@ def _clear(spark):
 
 def time_queries(spark, names: list[str]) -> dict:
     import __spark_entry__ as entrymod
+    from bench import _wait_host_idle
 
     qs = entrymod.queries()
     out = {}
     for name in names:
         fn = qs[name]
         walls = []
-        for _ in range(RUNS):
+        for i in range(RUNS):
+            if i:  # first run warms codegen; gate the runs that can win
+                _wait_host_idle(timeout=45)
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
             _clear(spark)
-        out[name] = {"min": min(walls), "runs": walls}
-        print(f"{name}: min={min(walls)} runs={walls}", flush=True)
+        sc = spark.sparkContext._jsc.sc()
+        j0, s0 = sc.dagScheduler().nextJobId(), sc.dagScheduler().nextStageId()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        jobs = sc.dagScheduler().nextJobId() - j0
+        stages = sc.dagScheduler().nextStageId() - s0
+        _clear(spark)
+        out[name] = {"min": min(walls), "runs": walls, "jobs": jobs,
+                     "stages": stages}
+        print(f"{name}: min={min(walls)} runs={walls} jobs={jobs} "
+              f"stages={stages}", flush=True)
     return out
 
 

@@ -115,44 +115,137 @@ _FAST_CANONICAL = (
     r"(?:/(?!\.\.?(?:/|$))[!$&'()*+,;=~A-Za-z0-9:@._-]*)+$"
 )
 
+# RE2 (pyarrow.compute) cannot express the lookahead above, so the arrow
+# tier unrolls it: the main shape without the segment guard, plus literal
+# checks that reject exactly the "." / ".." segments the guard rejected
+# (a "/./" or "/../" infix, or a "/." / "/.." suffix — the host part
+# cannot contain "/", so every occurrence is a path segment).
+_FAST_MAIN_RE2 = (
+    r"^https://[a-z0-9][a-z0-9.-]*(?:/[!$&'()*+,;=~A-Za-z0-9:@._-]*)+$"
+)
+_TIER2_SPLIT_RE2 = r"^(?P<sh>[A-Za-z][A-Za-z0-9+.-]*://[^/]*)(?P<tail>.*)$"
 
-@F.pandas_udf(T.StringType())
-def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    """U2 batch canonicalize — Arrow batch in, Arrow batch out.
+# Lean-query tier: canonical base + "?" + query of raw-safe chars (no "%",
+# "#", "?", no port/userinfo in the host). For such URLs the ONLY work
+# canonicalize_one would do is sort the (k, v) chunks — _requote is an
+# identity without "%", the scheme/host are already lowercase, and the
+# dot-segment rejection is applied to the base separately.
+_LEAN_QUERY_RE2 = (
+    r"^https://[a-z0-9][a-z0-9.-]*(?:/[!$&'()*+,;=~A-Za-z0-9:@._-]*)+"
+    r"\?[!$&'()*+,;=~A-Za-z0-9:@._-]+$"
+)
 
-    Three tiers, each vectorized over the whole batch:
-    1. already-canonical URLs (regex gate) pass through untouched;
-    2. URLs that become canonical after two cheap vectorized repairs —
-       ``#review_report`` → ``/review_report`` (the reference's 404 repair,
-       before generic fragment handling), fragment strip, scheme+host
-       lowercase — are re-gated by the same regex; passing the gate proves
-       the repaired form is a fixed point, and canonicalize_one is invariant
-       under exactly these repairs, so the result is identical;
-    3. only the remainder (queries, ports, %-escapes, dot-segments, missing
-       scheme) pays the per-URL urllib cost.
+
+def _canon_query_lean(s: str) -> str:
+    """canonicalize_one's query branch for a gate-approved lean URL: sort
+    chunks by (key, value), drop empties, re-join — byte-identical to the
+    urlsplit path because every other step is an identity on this shape."""
+    base, _, q = s.partition("?")
+    pairs = []
+    for chunk in q.split("&"):
+        if not chunk:
+            continue
+        k, _, v = chunk.partition("=")
+        pairs.append((k, v))
+    if not pairs:
+        return base
+    pairs.sort()
+    return base + "?" + "&".join(f"{k}={v}" for k, v in pairs)
+
+
+def _fast_mask(arr):
+    """False-filled boolean mask of already-canonical URLs (RE2 tier)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = pc.match_substring_regex(arr, _FAST_MAIN_RE2)
+    bad = pc.or_(
+        pc.or_(
+            pc.match_substring(arr, "/./"), pc.match_substring(arr, "/../")
+        ),
+        pc.or_(
+            pc.ends_with(arr, pattern="/."), pc.ends_with(arr, pattern="/..")
+        ),
+    )
+    return pc.fill_null(pc.and_(m, pc.invert(bad)), False)
+
+
+def _canonicalize_batch(urls):
+    """U2 batch canonicalize over a pyarrow Array (pd.Series accepted for
+    the unit-test seam) — three tiers, the first two fully in Arrow C++:
+
+    1. two cheap vectorized repairs — ``#review_report`` →
+       ``/review_report`` (the reference's 404 repair, before generic
+       fragment handling), fragment strip, scheme+host lowercase — are
+       identities on already-canonical URLs, so one pass serves both the
+       old fast and repair tiers;
+    2. repaired URLs that pass the canonical-shape gate are fixed points
+       of canonicalize_one (fuzz-pinned) and are returned as-is;
+    3. only the remainder (queries, ports, %-escapes, dot-segments,
+       missing scheme) pays the per-URL urllib cost, on the ORIGINAL
+       string.
+
+    The RE2 gate anchors ``$`` at end-of-text (Python's ``$`` also matched
+    before a trailing newline), so whitespace-damaged URLs now always take
+    the slow path — strictly closer to canonicalize_one.
     """
-    fast = urls.str.match(_FAST_CANONICAL, na=False)
-    out = urls.copy()
-    rest = ~fast
-    if rest.any():
-        repaired = (
-            urls[rest]
-            .str.replace("#review_report", "/review_report", regex=False)
-            .str.replace(r"#.*$", "", regex=True)
-        )
-        parts = repaired.str.extract(
-            r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)(.*)$", expand=True
-        )
-        lowered = parts[0].str.lower() + parts[1].fillna("")
-        repaired = lowered.where(parts[0].notna(), repaired)
-        mid = repaired.str.match(_FAST_CANONICAL, na=False)
-        out[repaired[mid].index] = repaired[mid]
-        slow = repaired[~mid].index
-        if len(slow):
-            out[slow] = urls[slow].map(
-                lambda u: canonicalize_one(u) if u is not None else None
-            )
-    return out
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pd.Series):
+        urls = pa.Array.from_pandas(urls, type=pa.string())
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    arr = urls.cast(pa.string())
+    rep = pc.replace_substring(
+        arr, pattern="#review_report", replacement="/review_report"
+    )
+    rep = pc.replace_substring_regex(rep, pattern="#.*$", replacement="")
+    ex = pc.extract_regex(rep, pattern=_TIER2_SPLIT_RE2)
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(ex, "sh")),
+        pc.struct_field(ex, "tail"),
+        "",
+    )
+    rep = pc.if_else(pc.is_valid(ex), lowered, rep)
+    good = _fast_mask(rep)
+    not_good = pc.invert(good)
+    # lean-query tier: the base (everything before "?") must itself pass
+    # the canonical gate, incl. the dot-segment rejection
+    base = pc.list_element(pc.split_pattern(rep, "?", max_splits=1), 0)
+    lean = pc.and_(
+        pc.and_(
+            pc.fill_null(pc.match_substring_regex(rep, _LEAN_QUERY_RE2), False),
+            _fast_mask(base),
+        ),
+        not_good,
+    )
+    lean_np = lean.to_numpy(zero_copy_only=False)
+    lean_idx = np.nonzero(lean_np)[0]
+    if len(lean_idx):
+        lean_vals = pc.take(rep, pa.array(lean_idx)).to_pylist()
+        fixed_np = np.full(len(arr), None, dtype=object)
+        fixed_np[lean_idx] = [_canon_query_lean(s) for s in lean_vals]
+        rep = pc.if_else(lean, pa.array(fixed_np, type=pa.string()), rep)
+        good = pc.or_(good, lean)
+    idx = np.nonzero(pc.invert(good).to_numpy(zero_copy_only=False))[0]
+    if not len(idx):
+        return rep
+    orig = pc.take(arr, pa.array(idx)).to_pylist()
+    slow_np = np.full(len(arr), None, dtype=object)
+    slow_np[idx] = [
+        canonicalize_one(u) if u is not None else None for u in orig
+    ]
+    return pc.if_else(good, rep, pa.array(slow_np, type=pa.string()))
+
+
+try:  # Spark 4.1+: vectorized Arrow-native UDF — no pandas object round trip
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+
+    canonicalize_udf = _arrow_udf(_canonicalize_batch, T.StringType())
+except ImportError:  # pragma: no cover — older runtimes fall back to pandas
+    canonicalize_udf = F.pandas_udf(_canonicalize_batch, T.StringType())
 
 
 def host_of(canonical: Column) -> Column:

@@ -13,12 +13,15 @@ Scale shape — pointer doubling (path halving), not per-hop iteration:
 * the edge set is first made functional (one outgoing edge per src,
   deterministic ``min(dst)`` tie-break — real 3xx responses have one
   Location header; duplicates come from refetches),
-* round k advances every unresolved chain by up to 2^(k-1) hops by
-  joining state against a mapping table that is squared each round
-  (``M' = M ∘ M``), so a chain of length L resolves in O(log L) rounds
-  of plain equi-joins — each round shuffles O(V) rows on one key, and
-  ``localCheckpoint`` pins lineage so plans stay O(1) per round
-  (same discipline as operators/components.py),
+* round k squares the mapping table (``M' = M ∘ M``), so after r rounds
+  ``M`` sends every src up to 2^r hops forward — a chain of length L
+  resolves in O(log L) rounds of plain equi-joins, each shuffling O(V)
+  rows on one key, with ``localCheckpoint`` pinning lineage so plans
+  stay O(1) per round (same discipline as operators/components.py).
+  The per-url state IS the mapping (state₀ = M₀ = the functional edge
+  set with hops/d = 1, and both advance by composing with Mₖ, so
+  stateₖ = Mₖ by induction) — one squared table per round, not a
+  state-advance join plus a mapping-square join,
 * cycles (a→b→a, self-loops) and chains longer than ``max_hops`` can
   never reach a terminal: after the fixed ``ceil(log2(max_hops))+1``
   rounds they still point at a node with an outgoing edge and are
@@ -52,28 +55,25 @@ def resolve_redirects(
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
     )
-    # state: url currently sits at `cur` after `hops` edges (first hop done)
-    state = f.select(
-        F.col("src").alias("url"),
-        F.col("dst").alias("cur"),
-        F.lit(1).alias("hops"),
-    ).localCheckpoint()
-    # mapping: from `a` you reach `b` in `d` hops (doubles every round)
+    # mapping: from `a` you reach `b` in `d` hops (doubles every round).
+    # The per-url state (url, cur, hops) is this same relation — both start
+    # as the functional edge set with one hop taken and both advance by
+    # composing with the current mapping, so squaring the mapping ALSO
+    # advances every chain (round-6 optimization: the old shape ran a
+    # second, provably-identical state-advance join per round).
+    # lazy checkpoints: each round's LogicalRDD keeps the SQL plan flat
+    # (round N never replans rounds 1..N-1, and the self-join's two
+    # references resolve to ONE persisted RDD), while no round runs its
+    # own driver action — the whole O(log L) squaring chain executes as
+    # one job when the caller's action fires (round-6: the eager variant
+    # paid one scheduling round trip per round; at log-bounded round
+    # counts the lineage is O(log max_hops) regardless of data size)
     mapping = f.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     rounds = max(1, math.ceil(math.log2(max_hops)) + 1)
     for _ in range(rounds):
-        state = (
-            state.join(mapping, state["cur"] == mapping["a"], "left")
-            .select(
-                "url",
-                F.coalesce("b", "cur").alias("cur"),
-                (F.col("hops") + F.coalesce("d", F.lit(0))).alias("hops"),
-            )
-            .localCheckpoint()
-        )
         m2 = mapping.select(
             F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("d").alias("d2")
         )
@@ -84,8 +84,11 @@ def resolve_redirects(
                 F.coalesce("b2", "b").alias("b"),
                 (F.col("d") + F.coalesce("d2", F.lit(0))).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    state = mapping.select(
+        F.col("a").alias("url"), F.col("b").alias("cur"), F.col("d").alias("hops")
+    )
 
     # terminal iff cur has no outgoing edge; bounded by max_hops
     srcs = f.select(F.col("src").alias("cur_src"))

@@ -104,9 +104,10 @@ def test_fast_path_is_fixed_point():
 
 
 def test_udf_tiers_match_reference():
-    """The 3-tier batch canonicalizer (fast regex / vectorized repairs /
-    urllib slow path) must agree with canonicalize_one on every input,
-    including garbage ports, userinfo, stacked fragments, and None."""
+    """The tiered batch canonicalizer (Arrow fast gate / vectorized
+    repairs / lean query sort / urllib slow path) must agree with
+    canonicalize_one on every input, including garbage ports, userinfo,
+    stacked fragments, and None."""
     import random
     import string
 
@@ -114,7 +115,7 @@ def test_udf_tiers_match_reference():
 
     from review_crawler_spark.functions import urls as U
 
-    fn = U.canonicalize_udf.func
+    fn = U._canonicalize_batch
     rng = random.Random(3)
     chars = string.ascii_letters + string.digits + "/.-_~:@!$&'()*+,;=%?#"
     urls = []
@@ -123,14 +124,29 @@ def test_udf_tiers_match_reference():
         host = "".join(rng.choice("abcABC09.-") for _ in range(rng.randrange(1, 10)))
         tail = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 30)))
         urls.append(scheme + host + tail)
+    # query-shaped fuzz hammers the lean-query tier, including the
+    # adversarial prefix-key chunk orderings where a raw chunk sort would
+    # diverge from canonicalize_one's (key, value) tuple sort
+    for _ in range(5000):
+        host = "".join(rng.choice("abc09.") for _ in range(rng.randrange(1, 6)))
+        path = "/" + "".join(rng.choice("abc09./") for _ in range(rng.randrange(0, 8)))
+        q = "".join(rng.choice("ab1=&") for _ in range(rng.randrange(0, 12)))
+        urls.append(f"https://{host}{path}?{q}")
     urls += [
         "https://www.mdpi.com/2673-4087/2/3/21#review_report",
         "HTTPS://A.com:443/x/../y?b=2&a=1#frag",
         "https://user@a.com/x",
         "https://a.com:bogus/x",
+        "https://a.com/p?a=1&a1=x",
+        "https://a.com/p?a1=x&a=1",
+        "https://a.com/p?b&a",
+        "https://a.com/p?&&",
+        "https://a.com/p?a==b&c=d=e",
+        "https://a.com/./p?a=1",
+        "https://a.com/p?a=1?b=2",
         None,
     ]
-    got = fn(pd.Series(urls, dtype=object))
+    got = fn(pd.Series(urls, dtype=object)).to_pylist()
     for u, g in zip(urls, got):
         expect = canonicalize_one(u) if u is not None else None
         assert g == expect, (u, g, expect)
