@@ -50,28 +50,41 @@ def _norm_text(raw: Column) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-bind ``value`` to a lambda variable so ``body`` can reference it
+    several times with ONE evaluation: ``element_at(transform(array(v),
+    x -> body(x)), 1)``. Higher-order-function lambdas are interpreted
+    (no whole-stage codegen, no common-subexpression elimination), so
+    without the binding every reference re-evaluates the full expression
+    tree — the pre-round-6 block classifier re-ran the normalize regexes
+    3× per block and the whole block pipeline once per output column."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def block_features(block: Column) -> Column:
     """Shallow features of one raw block fragment as a struct.
 
     ``text`` is the normalized visible text, ``text_len``/``word_count``
     its integer size, ``anchor_len`` the normalized length of text inside
-    anchors (0 for linkless blocks).
+    anchors (0 for linkless blocks). The normalized text is computed once
+    per block (let-bound), not once per struct field.
     """
-    text = _norm_text(block)
     anchors = F.regexp_extract_all(block, F.lit(_ANCHOR_PATTERN), F.lit(1))
     anchor_len = F.aggregate(
         F.transform(anchors, lambda a: F.length(_norm_text(a))),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    word_count = F.when(F.length(text) == 0, F.lit(0)).otherwise(
-        F.size(F.split(text, " "))
-    )
-    return F.struct(
-        text.alias("text"),
-        F.length(text).alias("text_len"),
-        word_count.alias("word_count"),
-        anchor_len.alias("anchor_len"),
+    return _let(
+        _norm_text(block),
+        lambda text: F.struct(
+            text.alias("text"),
+            F.length(text).alias("text_len"),
+            F.when(F.length(text) == 0, F.lit(0))
+            .otherwise(F.size(F.split(text, " ")))
+            .alias("word_count"),
+            anchor_len.alias("anchor_len"),
+        ),
     )
 
 
@@ -123,25 +136,45 @@ def extract_main_content(
 
     Keeps every non-HTML column, adds ``n_blocks`` / ``n_content`` counts,
     ``main_text`` (content blocks joined with ``\\n`` in document order)
-    and ``main_len``.  Single narrow projection — no explode, no shuffle:
-    the block array never leaves the expression tree.
+    and ``main_len``.  Two narrow projections — no explode, no shuffle:
+    the block array never leaves the expression tree, is classified ONCE
+    (let-bound — see :func:`_let`), and the output columns unpack a
+    single struct (the intermediate projection is not collapsed because
+    the struct is referenced more than once).
     """
     num, den = max_link_den
     feats = F.transform(
         F.split(F.col(html_col), BLOCK_SPLIT_PATTERN),
         lambda b: block_features(b),
     )
-    nonempty = F.filter(feats, lambda s: s["text_len"] > 0)
-    content = F.filter(
-        nonempty,
-        lambda s: (s["word_count"] >= F.lit(min_words))
-        & (s["anchor_len"] * F.lit(den) <= s["text_len"] * F.lit(num)),
+
+    def page_struct(ne: Column) -> Column:
+        content = F.filter(
+            ne,
+            lambda s: (s["word_count"] >= F.lit(min_words))
+            & (s["anchor_len"] * F.lit(den) <= s["text_len"] * F.lit(num)),
+        )
+        return _let(
+            content,
+            lambda c: F.struct(
+                F.size(ne).alias("n_blocks"),
+                F.size(c).alias("n_content"),
+                F.array_join(
+                    F.transform(c, lambda s: s["text"]), "\n"
+                ).alias("main_text"),
+            ),
+        )
+
+    page = _let(
+        F.filter(feats, lambda s: s["text_len"] > 0), page_struct
     )
-    main_text = F.array_join(F.transform(content, lambda s: s["text"]), "\n")
-    return df.select(
-        *[c for c in df.columns if c != html_col],
-        F.size(nonempty).alias("n_blocks"),
-        F.size(content).alias("n_content"),
-        main_text.alias("main_text"),
-        F.length(main_text).alias("main_len"),
+    staged = df.select(
+        *[c for c in df.columns if c != html_col], page.alias("_mc")
+    )
+    return staged.select(
+        *[c for c in staged.columns if c != "_mc"],
+        F.col("_mc.n_blocks").alias("n_blocks"),
+        F.col("_mc.n_content").alias("n_content"),
+        F.col("_mc.main_text").alias("main_text"),
+        F.length("_mc.main_text").alias("main_len"),
     )

@@ -54,12 +54,15 @@ def connected_components(
     )
     label_t = dict(labels.dtypes)["label"]
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # candidate labels: own label + every neighbor's label, keep min.
         # The old label rides along as ``own`` (max over {old, nulls} = old,
         # every id contributes its own row exactly once), so convergence is
-        # a 1-row aggregate over the checkpointed result instead of a
-        # join-back against the previous labels (one join per round saved)
+        # an observe() metric computed INSIDE the checkpoint job — zero
+        # extra jobs per round (round 6; previously a separate 1-row agg
+        # job re-read the checkpointed blocks every round)
+        from pyspark.sql import Observation
+
         via_nbr = (
             sym.join(labels, sym.t == labels.id)
             .select(
@@ -67,20 +70,21 @@ def connected_components(
                 F.lit(None).cast(label_t).alias("own"),
             )
         )
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
             labels.select("id", "label", F.col("label").alias("own"))
             .unionByName(via_nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("own").alias("own"))
-            # eager: the convergence collect forces this immediately, and
-            # materializing via the checkpoint job is measurably faster
-            # than materializing inside the collect's plan (A/B at sf0.1:
-            # 3.4 s vs 3.9 s warm) — the agg then reads cached blocks
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("own")).cast("int")).alias("c"),
+            )
+            # eager: the observe metric needs an action anyway, and
+            # materializing via the checkpoint job keeps lineage flat
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(
-            F.sum((F.col("label") != F.col("own")).cast("int")).alias("c")
-        ).collect()[0]["c"]
+        changed = obs.get["c"]
         labels = new_labels.select("id", "label")
         if not changed:
             converged = True

@@ -176,9 +176,20 @@ def strip_duplicated_spans(
         "transform(filter(transform(split(_text, ' '), (t, i) -> struct(t as t, i as i)),"
         " x -> NOT exists(spans, s -> x.i >= s.span_start AND x.i < s.span_end)), x -> x.t)"
     )
-    return joined.select(
+    # two-step projection: the higher-order reconstruction is interpreted
+    # (no codegen CSE), and text_clean + tokens_removed both consume it —
+    # materializing it as one intermediate column halves the per-doc HOF
+    # work (CollapseProject keeps the stage split because the alias is
+    # referenced more than once and is non-cheap)
+    staged = joined.select(
         "doc_id",
-        F.array_join(kept, " ").alias("text_clean"),
+        "n_spans",
+        F.size(F.split("_text", " ")).alias("_ntok"),
+        kept.alias("_kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join("_kept", " ").alias("text_clean"),
         F.col("n_spans").cast("long").alias("n_spans"),
-        (F.size(F.split("_text", " ")) - F.size(kept)).cast("long").alias("tokens_removed"),
+        (F.col("_ntok") - F.size("_kept")).cast("long").alias("tokens_removed"),
     )
