@@ -141,26 +141,37 @@ def dedup_and_probe(
     probe shuffle with a single exchange of the candidate set — at 10^10
     rows that is the difference between 2× and 1× frontier-sized shuffles
     per wave.
+
+    Arrow-native cogroup (applyInArrow): the candidate URL strings never
+    materialize as Python objects — the winner-per-hash selection is a
+    numpy lexsort + unique over the hash/priority/seq columns and the
+    surviving rows are re-sliced from the Arrow buffers with ``take``.
     """
+    import pyarrow as pa
+
     left = candidates.withColumn("shard_id", shard_of(F.col(hash_col), num_shards))
 
-    def do(key, cand: pd.DataFrame, bits_rows: pd.DataFrame) -> pd.DataFrame:
-        if len(cand) == 0:
-            return cand.drop(columns=["shard_id"]).assign(
-                maybe_seen=pd.Series([], dtype=bool)
+    def do(key, cand: pa.Table, bits_rows: pa.Table) -> pa.Table:
+        cand = cand.drop_columns(["shard_id"])
+        if cand.num_rows == 0:
+            return cand.append_column(
+                "maybe_seen", pa.array([], type=pa.bool_())
             )
-        cand = cand.sort_values(
-            [priority_col, seq_col], ascending=[False, True], kind="mergesort"
-        ).drop_duplicates(subset=[hash_col], keep="first")
-        if len(bits_rows) == 0:
-            maybe = np.zeros(len(cand), dtype=bool)
+        h = cand[hash_col].to_numpy()
+        pri = cand[priority_col].to_numpy()
+        seq = cand[seq_col].to_numpy()
+        # winner order: priority DESC, seq ASC (last key = primary)
+        order = np.lexsort((seq, -pri))
+        # first occurrence of each hash in winner order = admission winner
+        _, first = np.unique(h[order], return_index=True)
+        keep = order[np.sort(first)]
+        out = cand.take(pa.array(keep))
+        if bits_rows.num_rows == 0:
+            maybe = np.zeros(len(keep), dtype=bool)
         else:
-            bits = np.frombuffer(bits_rows["bits"].iloc[0], dtype=np.uint8)
-            pos = _positions(cand[hash_col].to_numpy(np.int64), shard_bits)
-            maybe = _test_bits(bits, pos)
-        out = cand.drop(columns=["shard_id"]).copy()
-        out["maybe_seen"] = maybe
-        return out
+            bits = np.frombuffer(bits_rows["bits"][0].as_py(), dtype=np.uint8)
+            maybe = _test_bits(bits, _positions(h[keep], shard_bits))
+        return out.append_column("maybe_seen", pa.array(maybe))
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -168,7 +179,7 @@ def dedup_and_probe(
     return (
         left.groupBy("shard_id")
         .cogroup(shards.groupBy("shard_id"))
-        .applyInPandas(do, schema=out_schema)
+        .applyInArrow(do, schema=out_schema)
     )
 
 

@@ -242,8 +242,14 @@ class SnapshotStore:
         wdir = loc / f"w={wave}"
         if wdir.exists():
             shutil.rmtree(wdir)
+        # cap the exchange's map-task count: per-wave deltas are budget-
+        # bounded, but their plans union several cached frames (one task
+        # per tiny cache partition otherwise); coalesce is a no-op when
+        # the input already has fewer partitions than the cap
+        map_cap = max(num_buckets, spark.sparkContext.defaultParallelism)
         (
-            df.withColumn("w", F.lit(wave))
+            df.coalesce(map_cap)
+            .withColumn("w", F.lit(wave))
             .repartition(num_buckets, *[F.col(c) for c in bucket_cols])
             .write.format("parquet")
             .option("path", str(loc))

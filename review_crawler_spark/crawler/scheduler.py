@@ -516,6 +516,16 @@ class CrawlEngine:
         """Compatibility view: the current live queue (all rows queued)."""
         return self._queued(self.next_wave)
 
+    def _files_for(self, rows: int) -> int:
+        """Output-file budget for a per-wave plain delta write: ~500k rows
+        per file, floored at one, capped at the session parallelism — a
+        4k-row wave writes one file instead of one per cache partition,
+        while a 10^7-row production wave still writes in parallel."""
+        return max(
+            1,
+            min(rows // 500_000 + 1, self.spark.sparkContext.defaultParallelism),
+        )
+
     # ------------------------------------------------------------- schedule
     def _schedule(self, queued: DataFrame) -> DataFrame:
         """Salted two-phase per-host top-k (SURVEY.md §2.9 C4/C5).
@@ -650,8 +660,14 @@ class CrawlEngine:
         # (three stacked jobs otherwise, each paying scheduling overhead)
         n_new = admitted.count()
         _mark("count_admitted")
-        n_sched = scheduled.count()
-        n_fetched = fetched.count()
+        # scheduled + fetched in ONE aggregate job over the cached fetch
+        # frame (it carries both populations) instead of two stacked counts
+        srow = fetch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("fetch_status") == 200).cast("long")).alias("ok"),
+        ).first()
+        n_sched = int(srow["n"])
+        n_fetched = int(srow["ok"] or 0)
         n_err = n_sched - n_fetched
         _mark("counts_rest")
 
@@ -736,8 +752,13 @@ class CrawlEngine:
                 self.seen_buckets,
             ),
             # fetched history: per-wave append log — crawl_order() reads ALL
-            # waves in one partitioned scan
-            lambda: self.store.append_delta("fetched_log", wave, fetched),
+            # waves in one partitioned scan. Coalesced to a row-count-derived
+            # file budget (guide §6 small files): the cached frame otherwise
+            # writes one near-empty file per cache partition EVERY wave, and
+            # a standing crawl's log listing pays for each forever.
+            lambda: self.store.append_delta(
+                "fetched_log", wave, fetched.coalesce(self._files_for(n_fetched))
+            ),
         ]
         # cumulative trap evidence: O(delta) append of the wave's ADMITTED
         # (host, template) counts — distinct frontier entries, the right
@@ -778,7 +799,8 @@ class CrawlEngine:
         if n_err > 0:
             writes.append(
                 lambda: self.store.append_delta(
-                    "failed_log", wave, terminal.select(*fields)
+                    "failed_log", wave,
+                    terminal.select(*fields).coalesce(self._files_for(n_err)),
                 )
             )
         # persist ONLY the shards this wave's admissions touched: restrict
