@@ -103,13 +103,12 @@ def _merge_pair_expr(symbols, left: str, right: str):
 
 def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(left, right, cnt) — every adjacent symbol position weighted by word
-    freq (overlapping positions each count, matching the classic counter).
-    arrays_zip is a native kernel; a zip_with lambda would be interpreted
-    once per symbol position."""
+    freq (overlapping positions each count, matching the classic counter)."""
     n = F.greatest(F.size("symbols") - 1, F.lit(0))
-    pairs = F.arrays_zip(
-        F.slice("symbols", 1, n).alias("left"),
-        F.slice("symbols", F.lit(2), n).alias("right"),
+    pairs = F.zip_with(
+        F.slice("symbols", 1, n),
+        F.slice("symbols", F.lit(2), n),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
     )
     return (
         words.select("freq", F.explode(pairs).alias("p"))
@@ -166,11 +165,12 @@ def bpe_train(
         learned.append((rank, left, right, left + right))
         n = F.greatest(F.size("symbols") - 1, F.lit(0))
         has_pair = F.array_contains(
-            F.arrays_zip(
-                F.slice("symbols", 1, n).alias("l"),
-                F.slice("symbols", F.lit(2), n).alias("r"),
+            F.zip_with(
+                F.slice("symbols", 1, n),
+                F.slice("symbols", F.lit(2), n),
+                lambda a, b: (a == F.lit(left)) & (b == F.lit(right)),
             ),
-            F.struct(F.lit(left).alias("l"), F.lit(right).alias("r")),
+            F.lit(True),
         )
         # lazy barrier per round: flat lineage (components.py rationale),
         # materialized by the next round's argmax collect

@@ -64,16 +64,15 @@ def hashed_bigram_occurrences(
     feature vector is occurrence counts, so a repeated phrase counts every
     time. bucket = int(md5(w1||' '||w2||salt)[:8], 16) % n_buckets.
 
-    Narrow end-to-end: split → arrays_zip pairs (native kernel — a
-    zip_with lambda is interpreted per element) → explode → scalar
-    concat + md5 prefix → conv(16, 10) → mod, all whole-stage-codegen.
-    Documents with < 2 tokens contribute nothing."""
+    Narrow end-to-end: split → zip_with pairs → explode → md5 prefix →
+    conv(16, 10) → mod. Documents with < 2 tokens contribute nothing."""
     w = F.split(normalize_text(F.col(text_col)), " ")
-    n1 = F.greatest(F.size(w) - 1, F.lit(0))
-    grams = F.arrays_zip(
-        F.slice(w, 1, n1).alias("a"), F.slice(w, 2, n1).alias("b")
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    g = F.concat(F.col("g.a"), F.lit(" "), F.col("g.b"))
+    g = F.col("g")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(g, F.lit(salt))), 1, 8), 16, 10)
         .cast("long")

@@ -48,16 +48,15 @@ from ..functions.text import normalize_text
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per adjacent token pair, normalized tokens.
 
-    arrays_zip over two shifted slices — a native kernel, unlike a
-    zip_with lambda which is interpreted once per element (the
-    exploded_word_shingles lesson, functions/text.py). Documents with
-    fewer than 2 tokens contribute nothing (they have no bigrams and
+    zip_with over two shifted slices stays whole-stage-codegen; documents
+    with fewer than 2 tokens contribute nothing (they have no bigrams and
     are absent from the scored output, like the pair operators' singleton
     convention)."""
     w = F.split(normalize_text(F.col(text_col)), " ")
-    n1 = F.greatest(F.size(w) - 1, F.lit(0))
-    pairs = F.arrays_zip(
-        F.slice(w, 1, n1).alias("w1"), F.slice(w, 2, n1).alias("w2")
+    pairs = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
         docs.select(F.col(id_col).alias("id"), pairs.alias("bg"))
