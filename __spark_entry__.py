@@ -4275,12 +4275,13 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     nats, per-document integer weight sums, deterministic top-k. The
     B-row score dim broadcasts into the occurrence stream — the corpus
     never shuffles to be scored. Bit-exact DuckDB twin: same md5 bucket
-    hash, same quantization."""
-    from review_crawler_spark.operators.dsir import dsir_select_topk
+    hash, same quantization. The target corpus is a filter of the raw
+    corpus, so the shared-pass variant tokenizes/hashes the corpus ONCE
+    for both histograms (round-6; identical counts by construction)."""
+    from review_crawler_spark.operators.dsir import dsir_select_topk_within
 
     docs = load(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_select_topk(target, docs, _DSIR_K)
+    return dsir_select_topk_within(docs, F.col("lang") == "en", _DSIR_K)
 
 
 _SQL_DSIR_SELECT = rf"""

@@ -16,9 +16,10 @@ the WORD-FREQUENCY TABLE:
           adjacent-pair explode over each word's symbol array weighted by
           word freq → groupBy(left, right) sum → 1-row argmax collect
           (count desc, then lexicographic (left, right) — deterministic
-          under any partitioning) → rewrite ONLY the words containing the
-          winning pair via a JVM ``aggregate`` fold (leftmost
-          non-overlapping merge; zero Python, whole-stage codegen);
+          under any partitioning) → rewrite the space-joined symbol string
+          with ONE compiled JVM regex per word (leftmost non-overlapping
+          merge; zero Python; a no-match is an identity, so untouched
+          words cost a single scan);
   encode: training's final symbol arrays ARE the encoded forms of every
           corpus word (applying the merge list in rank order to a training
           word reproduces its final array), so per-document token counts
@@ -68,46 +69,35 @@ def word_freq_dim(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_pair_expr(symbols, left: str, right: str):
-    """JVM fold: replace leftmost non-overlapping (left, right) adjacencies
-    in ``symbols`` with the concatenated token. The accumulator carries the
-    emitted prefix plus one pending symbol; a match consumes the pending
-    ``left`` and the current ``right`` in one step, so an ``aaa`` stream
-    against pair (a, a) merges positions (0,1) and leaves 2 — exactly the
-    classic left-to-right scan."""
-    token = left + right
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("prev"),
-    )
+def _merge_pair_expr(sym_str, left: str, right: str):
+    """Replace leftmost non-overlapping (left, right) adjacencies in the
+    space-joined symbol string with the concatenated token — ONE compiled
+    JVM regex per word instead of an interpreted per-symbol aggregate fold
+    (round-6 optimization; the fold evaluated ~5 branch expressions per
+    symbol per round, interpreted).
 
-    def step(acc, x):
-        flush = F.when(
-            acc["prev"].isNull(), acc["out"]
-        ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
-        return F.when(
-            acc["prev"].eqNullSafe(F.lit(left)) & (x == F.lit(right)),
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(token))).alias("out"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-        ).otherwise(F.struct(flush.alias("out"), x.alias("prev")))
-
-    def finish(acc):
-        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
-            F.concat(acc["out"], F.array(acc["prev"]))
-        )
-
-    return F.aggregate(symbols, acc0, step, finish)
+    Java's replaceAll scans left to right and resumes after each match,
+    which is exactly the classic non-overlapping merge: ``a a a`` against
+    pair (a, a) matches positions (0, 1), resumes at symbol 2, and leaves
+    it unmerged. The zero-width lookarounds pin symbol boundaries without
+    consuming the neighboring separator, so a chain like ``a b a b``
+    merges both occurrences in one pass. \\Q..\\E quotes the pair text
+    (symbols are normalized word characters plus the ``</w>`` marker —
+    no ``\\E`` or replacement metacharacters can occur)."""
+    pattern = "(?<=^| )\\Q" + left + " " + right + "\\E(?=$| )"
+    return F.regexp_replace(sym_str, pattern, left + right)
 
 
 def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(left, right, cnt) — every adjacent symbol position weighted by word
-    freq (overlapping positions each count, matching the classic counter)."""
-    n = F.greatest(F.size("symbols") - 1, F.lit(0))
+    freq (overlapping positions each count, matching the classic counter).
+    ``words`` carries the space-joined ``sym_str``; the split array exists
+    only inside this per-round counting expression."""
+    symbols = F.split("sym_str", " ")
+    n = F.greatest(F.size(symbols) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice("symbols", 1, n),
-        F.slice("symbols", F.lit(2), n),
+        F.slice(symbols, 1, n),
+        F.slice(symbols, F.lit(2), n),
         lambda a, b: F.struct(a.alias("left"), b.alias("right")),
     )
     return (
@@ -136,12 +126,14 @@ def bpe_train(
     words = (
         word_freq_dim(docs, text_col)
         .withColumn(
-            "symbols",
-            # Java Pattern.split("") can emit a trailing "" — filter it so
-            # the symbol array is exactly the characters plus the marker
+            "sym_str",
+            # the symbol sequence as a space-joined string: characters plus
+            # the end marker. regexp_replace(word, '(.)', '$1 ') inserts the
+            # separator after every character in one JVM pass (codepoint-
+            # safe for the normalized \w corpus); the merge rewrite and the
+            # pair counter both work off this representation.
             F.concat(
-                F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0),
-                F.array(F.lit(END)),
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END)
             ),
         )
         # lazy: the round's argmax collect is the next action and
@@ -163,26 +155,19 @@ def bpe_train(
             break
         left, right = top[0]["left"], top[0]["right"]
         learned.append((rank, left, right, left + right))
-        n = F.greatest(F.size("symbols") - 1, F.lit(0))
-        has_pair = F.array_contains(
-            F.zip_with(
-                F.slice("symbols", 1, n),
-                F.slice("symbols", F.lit(2), n),
-                lambda a, b: (a == F.lit(left)) & (b == F.lit(right)),
-            ),
-            F.lit(True),
-        )
         # lazy barrier per round: flat lineage (components.py rationale),
-        # materialized by the next round's argmax collect
+        # materialized by the next round's argmax collect. A word without
+        # the pair is a regex no-match — identity, no has_pair gate needed.
         words = words.withColumn(
-            "symbols",
-            F.when(has_pair, _merge_pair_expr(F.col("symbols"), left, right))
-            .otherwise(F.col("symbols")),
+            "sym_str", _merge_pair_expr(F.col("sym_str"), left, right)
         ).localCheckpoint(eager=False)
     merges = spark.createDataFrame(
         learned, "rank INT, left STRING, right STRING, token STRING"
     )
-    return merges, words
+    encoded = words.select(
+        "word", "freq", F.split("sym_str", " ").alias("symbols")
+    )
+    return merges, encoded
 
 
 def token_counts(

@@ -59,13 +59,17 @@ def hashed_bigram_occurrences(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     salt: str = "",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, bucket) — one row per bigram OCCURRENCE (not type): DSIR's
     feature vector is occurrence counts, so a repeated phrase counts every
     time. bucket = int(md5(w1||' '||w2||salt)[:8], 16) % n_buckets.
 
     Narrow end-to-end: split → zip_with pairs → explode → md5 prefix →
-    conv(16, 10) → mod. Documents with < 2 tokens contribute nothing."""
+    conv(16, 10) → mod. Documents with < 2 tokens contribute nothing.
+
+    ``keep_cols``: extra columns carried through unchanged (the shared-
+    corpus path tags rows with the target flag)."""
     w = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.zip_with(
         F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
@@ -79,10 +83,10 @@ def hashed_bigram_occurrences(
         % n_buckets
     )
     return (
-        docs.select(F.col(id_col).alias("id"), grams.alias("gs"))
+        docs.select(F.col(id_col).alias("id"), *keep_cols, grams.alias("gs"))
         .filter(F.size("gs") >= 1)
-        .select("id", F.explode("gs").alias("g"))
-        .select("id", bucket.alias("bucket"))
+        .select("id", *keep_cols, F.explode("gs").alias("g"))
+        .select("id", *keep_cols, bucket.alias("bucket"))
     )
 
 
@@ -180,6 +184,50 @@ def dsir_importance_weights(
             "weight_e4",
         )
     )
+
+
+def dsir_select_topk_within(
+    docs: DataFrame,
+    target_cond,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    salt: str = "",
+) -> DataFrame:
+    """:func:`dsir_select_topk` for the common deployment where the target
+    corpus is a FILTER of the raw corpus (``target_cond`` — e.g. the
+    language-id gate). One corpus explode serves both histograms AND the
+    scoring join (round-6: the generic two-corpus path tokenized and
+    hashed the target subset a second time); per-bucket counts, scores,
+    and weights are identical to the generic path by construction."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    flagged = docs.withColumn("_is_target", target_cond)
+    occ = hashed_bigram_occurrences(
+        flagged, id_col, text_col, n_buckets, salt, keep_cols=("_is_target",)
+    ).localCheckpoint(eager=True)
+    t = _bucket_histogram(
+        occ.filter(F.col("_is_target")).select("id", "bucket")
+    ).withColumnsRenamed({"c": "tc", "total": "tt"})
+    r = _bucket_histogram(occ.select("id", "bucket")).withColumnsRenamed(
+        {"c": "rc", "total": "rt"}
+    )
+    scores = _scores_from_histograms(t, r, n_buckets)
+    w = (
+        occ.join(F.broadcast(scores), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("score_e4").alias("weight_e4"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "weight_e4",
+        )
+    )
+    return w.orderBy(F.col("weight_e4").desc(), F.col(id_col)).limit(k)
 
 
 def dsir_select_topk(
