@@ -238,9 +238,16 @@ class SnapshotStore:
         # table knowing only the current wave's partition, silently hiding
         # every prior delta from read_bucketed_deltas (round-3 ADVICE)
         self.ensure_bucketed_registered(spark, name)
-        spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wave})")
         wdir = loc / f"w={wave}"
         if wdir.exists():
+            # crash-replay only: a prior attempt's leftovers exist. The DDL
+            # is skipped on the normal path because every ALTER TABLE on
+            # this table makes CacheManager drop ALL cached plans that scan
+            # it — and mid-wave that used to evict the wave frames and force
+            # the commit writes to re-execute the admit pipeline from disk.
+            # (GC keeps dir and catalog partition in lockstep, so a missing
+            # dir implies no stale catalog partition to drop.)
+            spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (w={wave})")
             shutil.rmtree(wdir)
         # cap the exchange's map-task count: per-wave deltas are budget-
         # bounded, but their plans union several cached frames (one task

@@ -84,6 +84,29 @@ SEEN_BUCKET_COLS = ("url_hash", "canonical_url")
 FRONTIER_KEY = ("url_hash", "canonical_url", "attempt")
 
 
+def _release(df: DataFrame) -> None:
+    """Free a per-wave frame's storage blocks, whatever its kind.
+
+    ``DataFrame.unpersist`` only releases CacheManager entries; on a
+    ``localCheckpoint`` frame it is a silent no-op (verified: storage
+    info unchanged after the call) and the checkpointed blocks linger
+    until the JVM garbage-collects the RDD. Unpersisting the LogicalRDD's
+    underlying InternalRow RDD releases them deterministically — a
+    standing crawl must not accumulate one wave's worth of blocks per
+    wave until an eventual driver GC."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 @dataclass
 class WaveStats:
     wave: int
@@ -398,6 +421,7 @@ class CrawlEngine:
         self.next_wave = wave + 1
         self.url_seen = self._read_seen(wave + 1)
         self.bloom_shards = self._read_bloom(wave + 1)
+        _release(victims)
         return n
 
     def enqueue(self, seed_rows) -> int:
@@ -476,6 +500,7 @@ class CrawlEngine:
         self.next_wave = wave + 1
         self.url_seen = self._read_seen(wave + 1)
         self.bloom_shards = self._read_bloom(wave + 1)
+        _release(rows)
         return n
 
     # ------------------------------------------------------------- frontier
@@ -605,30 +630,42 @@ class CrawlEngine:
             # snapshot invariant) before anything materializes it
             self.bloom_shards = self._read_bloom(wave)
             self._gc_done_base = self._frontier_base
-        # cached: isEmpty probes it, the schedule window consumes it fully,
-        # and a compaction wave re-reads it for the untouched-rows fold —
-        # without the cache the bucketed-log anti-join executes per consumer
-        queued = self._queued(wave).cache()
+        # Materialized ONCE and fenced from cache invalidation: isEmpty
+        # probes it, the schedule window consumes it fully, and a compaction
+        # wave re-reads it for the untouched-rows fold. A plain .cache()
+        # here is a trap: every wave frame's lineage starts at the
+        # frontier_log catalog scan, so the commit phase's writes into
+        # frontier_log/url_seen make CacheManager drop ALL wave caches
+        # (path-based recache), and each concurrent write then re-executes
+        # the whole admit pipeline from disk — measured as a 13-job convoy
+        # costing ~3 s per bucketed append at bench scale. localCheckpoint
+        # truncates the plan to a LogicalRDD (no table reference), which the
+        # invalidation cannot touch; lazy, so the counts below materialize
+        # it exactly where the cache used to.
+        queued = self._queued(wave).localCheckpoint(eager=False)
         if queued.isEmpty():
-            queued.unpersist()
+            _release(queued)
             return None
         _mark("queued")
 
-        scheduled = self._schedule(queued).cache()
+        scheduled = self._schedule(queued).localCheckpoint(eager=False)
 
         # FETCH: left join against the synthetic web; missing page → 404.
-        # cached — both the fetched and failed branches read it, and the
-        # frontier commit re-reads both
+        # checkpointed — both the fetched and failed branches read it, the
+        # frontier commit re-reads both, and the write-phase invalidation
+        # must not reach it (same lineage-fence reasoning as `queued`)
         fetch = scheduled.join(
             self.site_graph, scheduled.canonical_url == self.site_graph.page_url,
             "left",
-        ).withColumn("fetch_status", F.coalesce(F.col("status"), F.lit(404))).cache()
+        ).withColumn(
+            "fetch_status", F.coalesce(F.col("status"), F.lit(404))
+        ).localCheckpoint(eager=False)
 
         fetched = fetch.filter(F.col("fetch_status") == 200).select(
             scheduled.url, "canonical_url", "url_hash", "host", "priority",
             "depth", F.lit(wave).alias("wave"), "seq",
             F.col("kind"), F.col("fetch_status").alias("status"),
-        ).cache()
+        ).localCheckpoint(eager=False)
 
         failed = fetch.filter(F.col("fetch_status") != 200).select(
             scheduled.url, "canonical_url", "url_hash", "host", "priority",
@@ -639,6 +676,10 @@ class CrawlEngine:
         )
 
         # DISCOVER: out-links of fetched pages, document-order seq encoding.
+        # Checkpointed: _admit's isEmpty short-circuit probe otherwise
+        # executes the discovery join once and the admission pipeline then
+        # re-executes it in full — materializing here runs it exactly once
+        # (and fences it from the commit-phase invalidation like the rest).
         links = fetched.join(
             self.site_links,
             fetched.canonical_url == self.site_links.page_url,
@@ -647,12 +688,14 @@ class CrawlEngine:
             F.col("link_pri").cast("long").alias("priority"),
             (F.col("depth") + 1).alias("depth"),
             (F.col("seq") * self.seq_stride + F.col("link_idx")).alias("seq"),
-        )
+        ).localCheckpoint(eager=False)
 
-        # cached: counted once, then written into both the frontier union
-        # and the url_seen delta — without the cache the fused probe +
-        # anti-join would re-execute three times per wave
-        admitted = self._admit(links, wave).cache()
+        # checkpointed: counted once, then written into both the frontier
+        # union and the url_seen delta — without the materialization the
+        # fused probe + anti-join would re-execute three times per wave,
+        # and its plan references the url_seen catalog table (exact-confirm
+        # anti-join), so it needs the same invalidation fence as the others
+        admitted = self._admit(links, wave).localCheckpoint(eager=False)
 
         # in-wave bookkeeping: count the DEEPEST cached plan first — one
         # job materializes scheduled/fetch/fetched/admitted top-down, and
@@ -901,14 +944,13 @@ class CrawlEngine:
         )
         self._frontier_base = new_base
         self._seen_base = new_seen_base
-        queued.unpersist()
-        scheduled.unpersist()
-        fetch.unpersist()
-        fetched.unpersist()
-        admitted.unpersist()
+        for frame in (queued, scheduled, fetch, fetched, links, admitted):
+            _release(frame)
+        if seen_out is not seen_delta:
+            _release(seen_out)  # compaction fold's eager checkpoint
         probed = getattr(self, "_probed", None)
         if probed is not None:
-            probed.unpersist()
+            _release(probed)
             self._probed = None
 
         # lineage barrier: read back what we just committed (the frontier
@@ -946,7 +988,9 @@ class CrawlEngine:
             shards = self.bloom_shards
             # materialized once: the fresh/suspect split consumes probed in
             # two plan branches — without this the canonicalize + cogroup
-            # probe would execute twice per wave
+            # probe would execute twice per wave. Lazy: the checkpoint RDD
+            # computes inside the first consumer's job instead of paying a
+            # separate eager materialization job per wave.
             probed = self._seen_mod.dedup_and_probe(
                 allowed.select(
                     "url", "canonical_url", "url_hash", "host",
@@ -955,7 +999,7 @@ class CrawlEngine:
                 shards,
                 self.num_bloom_shards,
                 self._shard_bits,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             # handle kept so run_wave can release the checkpointed blocks
             # after commit — otherwise they accumulate in executor storage
             # for the whole crawl
