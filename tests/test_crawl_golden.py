@@ -433,3 +433,41 @@ def test_trap_gate_on_is_noop_on_trap_free_site(spark, tmp_path, sim_result):
     assert order == sim_result.fetch_order
     seen = {r["canonical_url"] for r in eng.url_seen_set().collect()}
     assert seen == sim_result.url_seen
+
+
+def test_wave_frames_release_storage_blocks(spark, tmp_path):
+    """Round-6 optimization regression pin: the wave frames are lazy
+    localCheckpoints (lineage-fenced from the commit phase's catalog-write
+    cache invalidation), and DataFrame.unpersist() is a silent no-op on
+    such frames — run_wave must release their blocks through the
+    LogicalRDD's underlying RDD (scheduler._release), or a standing crawl
+    accumulates one wave's worth of storage per wave until a driver GC.
+    Pin: after several waves, the only surviving storage entries are the
+    engine's deliberate long-lived caches (site tables + the bloom LWW
+    view), not per-wave frames."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def storage_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = storage_ids()
+    site = build_site()
+    store = SnapshotStore(tmp_path / "ckpt_release")
+    eng = CrawlEngine(
+        spark,
+        site_graph=site_graph_df(spark, site),
+        site_links=site_links_df(spark, site),
+        store=store,
+        num_bloom_shards=4,
+    )
+    eng.seed(seeds())
+    for _ in range(4):
+        eng.run_wave()
+    leftover = storage_ids() - before
+    # allowed survivors: the two site-table caches (engine-lifetime) and
+    # the current bloom LWW view (rebuilt per wave, previous one released)
+    assert len(leftover) <= 3, (
+        f"run_wave leaked {len(leftover)} storage entries: per-wave frames "
+        "(queued/scheduled/fetch/fetched/links/admitted/probed) must be "
+        "released after commit"
+    )
